@@ -1,0 +1,700 @@
+"""Exhaustive combinatorial non-negative least squares — TPU-native core.
+
+Solves, for A = [A1, ..., AK] and y:
+
+    min_{w >= 0} ||A w - y||_2^2   s.t.  ||w_k||_0 = 1 for each sub-dictionary
+
+i.e. select exactly one column (atom) per sub-dictionary with a non-negative
+weight, exhaustively over all combinations. This is the "main function of the
+toolbox" in the reference (mf_utils.py:115-214 and the Numba kernels at
+mf_utils.py:218-607).
+
+TPU-first redesign (not a port):
+  * The reference scans candidates voxel-at-a-time in scalar Numba loops.
+    Here, Gram blocks (A_i^T A_j, A^T y, ||y||^2) are batched MXU matmuls
+    over a whole voxel batch, and the candidate grid is evaluated branchlessly
+    on the VPU with `where`-composed closed-form 1/2/3/4-variable NNLS
+    solutions and a running first-minimum argmin reduction.
+  * The N1 x N2 (x N3 x N4) candidate grid is tiled with `lax.scan` so the
+    cross-Gram never materializes in HBM (a VMEM-sized tile at a time),
+    mirroring the reference's "never re-form Aw - y" algebra
+    (mf_utils.py:355-356).
+  * Candidate ordering and tie-breaking reproduce the reference exactly:
+    candidates are visited in the reference loop order (i3 outer, i1, i2
+    inner for K=3; mf_utils.py:540-601) and ties keep the first index
+    (strict `<` improvement test, mf_utils.py:382, 596).
+
+Known exact-arithmetic-equivalent deviation: the K=3 full-support residual is
+computed algebraically (y'y + w'Gw - 2 w'Y) instead of the reference's
+explicit O(Nseq) re-summation (mf_utils.py:569-573); both agree to round-off.
+
+The public ``solve_exhaustive_posweights`` keeps the reference's exact
+signature, validation and return convention so existing user code ports
+unchanged.
+"""
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+import scipy.optimize
+from itertools import product
+
+# Tolerance for Cramer sign tests in the 3-variable solver
+# (reference mf_utils.py:480-482).
+_EPS = 2.2204e-16
+_TOL3 = 100 * _EPS
+
+_TILE_N1 = 128  # candidate-grid tile along the first sub-dictionary axis
+
+
+def _sanitize(res):
+    """NaN residuals (degenerate Gram) never win the argmin, matching the
+    reference where `nan < min_obj` is always False."""
+    return jnp.where(jnp.isnan(res), jnp.inf, res)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form small NNLS subproblems (branchless, elementwise over arrays)
+# ---------------------------------------------------------------------------
+
+def lsqnonneg_1var(y_sq, a_sq, a_y):
+    """1-variable NNLS from precomputed scalars: w = max(a'y, 0)/a'a."""
+    pos = a_y >= 0
+    w = jnp.where(pos, a_y / a_sq, 0.0)
+    res = jnp.where(pos, y_sq - w * a_y, y_sq)
+    return w, res
+
+
+def lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2):
+    """2-variable NNLS from precomputed Gram scalars.
+
+    Branchless implementation of the exact sign-case analysis of the
+    reference kernel (mf_utils.py:329-380 / 399-459), including its `elif`
+    priority order. All arguments broadcast elementwise.
+    """
+    w1D = A22 * Y1 - A12 * Y2
+    w2D = A11 * Y2 - A12 * Y1
+
+    # Full-support (relaxed) solution
+    Det = A11 * A22 - A12 * A12
+    w1_full = w1D / Det
+    w2_full = w2D / Det
+    res_full = (y_sq + w1_full * w1_full * A11 + w2_full * w2_full * A22
+                + 2 * (w1_full * w2_full * A12 - w1_full * Y1 - w2_full * Y2))
+
+    # Single-column candidates
+    w1_only = Y1 / A11
+    res1_only = y_sq - Y1 * w1_only
+    w2_only = Y2 / A22
+    res2_only = y_sq - Y2 * w2_only
+
+    case1 = (w1D > 0) & (w2D > 0)
+    case2 = ~case1 & (w1D >= 0) & (w2D <= 0)
+    case3 = ~case1 & ~case2 & (w1D <= 0) & (w2D >= 0)
+    case4 = ~case1 & ~case2 & ~case3 & (w1D < 0) & (w2D < 0)
+
+    take1 = (case2 & (Y1 >= 0)) | (case4 & (Y1 > 0))
+    take2 = (case3 & (Y2 >= 0)) | (case4 & (Y1 <= 0) & (Y2 > 0))
+
+    w1 = jnp.where(case1, w1_full, jnp.where(take1, w1_only, 0.0))
+    w2 = jnp.where(case1, w2_full, jnp.where(take2, w2_only, 0.0))
+    res = jnp.where(case1, res_full,
+                    jnp.where(take1, res1_only,
+                              jnp.where(take2, res2_only, y_sq)))
+    return w1, w2, _sanitize(res)
+
+
+def lsqnonneg_3var(y_sq, A11, A22, A33, A12, A13, A23, Y1, Y2, Y3):
+    """3-variable NNLS via Cramer + 2-variable fallback chain.
+
+    Branchless port of the reference decision logic (mf_utils.py:548-593):
+    if the three Cramer determinants are >= -tol take the full-support
+    solution, otherwise the best of the three 2-column subproblems with
+    first-strictly-better priority (12, then 13, then 23).
+    """
+    D1 = (Y1 * (A22 * A33 - A23 * A23) - Y2 * (A12 * A33 - A23 * A13)
+          + Y3 * (A12 * A23 - A22 * A13))
+    D2 = (-Y1 * (A12 * A33 - A13 * A23) + Y2 * (A11 * A33 - A13 * A13)
+          - Y3 * (A11 * A23 - A12 * A13))
+    D3 = (Y1 * (A12 * A23 - A13 * A22) - Y2 * (A11 * A23 - A12 * A13)
+          + Y3 * (A11 * A22 - A12 * A12))
+    full = (D1 >= -_TOL3) & (D2 >= -_TOL3) & (D3 >= -_TOL3)
+
+    D = (A11 * (A22 * A33 - A23 * A23)
+         - A12 * (A12 * A33 - A23 * A13)
+         + A13 * (A12 * A23 - A22 * A13))
+    w1f, w2f, w3f = D1 / D, D2 / D, D3 / D
+    res_f = (y_sq
+             + w1f * w1f * A11 + w2f * w2f * A22 + w3f * w3f * A33
+             + 2 * (w1f * w2f * A12 + w1f * w3f * A13 + w2f * w3f * A23
+                    - w1f * Y1 - w2f * Y2 - w3f * Y3))
+
+    w12a, w12b, r12 = lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2)
+    w13a, w13b, r13 = lsqnonneg_2var(y_sq, A11, A13, A33, Y1, Y3)
+    w23a, w23b, r23 = lsqnonneg_2var(y_sq, A22, A23, A33, Y2, Y3)
+
+    # fallback chain: start with (12); (13) wins if strictly better; then (23)
+    fb_w1, fb_w2, fb_w3, fb_r = w12a, w12b, jnp.zeros_like(w12a), r12
+    take13 = r13 < fb_r
+    fb_w1 = jnp.where(take13, w13a, fb_w1)
+    fb_w2 = jnp.where(take13, 0.0, fb_w2)
+    fb_w3 = jnp.where(take13, w13b, fb_w3)
+    fb_r = jnp.where(take13, r13, fb_r)
+    take23 = r23 < fb_r
+    fb_w1 = jnp.where(take23, 0.0, fb_w1)
+    fb_w2 = jnp.where(take23, w23a, fb_w2)
+    fb_w3 = jnp.where(take23, w23b, fb_w3)
+    fb_r = jnp.where(take23, r23, fb_r)
+
+    w1 = jnp.where(full, w1f, fb_w1)
+    w2 = jnp.where(full, w2f, fb_w2)
+    w3 = jnp.where(full, w3f, fb_w3)
+    res = jnp.where(full, _sanitize(res_f), fb_r)
+    return w1, w2, w3, res
+
+
+def _solve_posdef_cramer(G_rows, Y):
+    """Solve a kxk symmetric system via explicit Cramer (k <= 4).
+
+    ``G_rows``: tuple of k tuples of scalars (broadcastable arrays);
+    ``Y``: tuple of k scalars. Returns (w tuple, det).
+    Only used by the 4-variable support enumeration.
+    """
+    k = len(Y)
+    if k == 1:
+        return (Y[0] / G_rows[0][0],), G_rows[0][0]
+    if k == 2:
+        det = G_rows[0][0] * G_rows[1][1] - G_rows[0][1] * G_rows[1][0]
+        w1 = (Y[0] * G_rows[1][1] - G_rows[0][1] * Y[1]) / det
+        w2 = (G_rows[0][0] * Y[1] - Y[0] * G_rows[1][0]) / det
+        return (w1, w2), det
+
+    def det3(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    if k == 3:
+        det = det3(G_rows)
+        ws = []
+        for j in range(3):
+            mj = [[(Y[r] if c == j else G_rows[r][c]) for c in range(3)]
+                  for r in range(3)]
+            ws.append(det3(mj) / det)
+        return tuple(ws), det
+
+    def det4(m):
+        total = 0.0
+        for c in range(4):
+            minor = [[m[r][cc] for cc in range(4) if cc != c]
+                     for r in range(1, 4)]
+            term = m[0][c] * det3(minor)
+            total = total + (term if c % 2 == 0 else -term)
+        return total
+
+    det = det4(G_rows)
+    ws = []
+    for j in range(4):
+        mj = [[(Y[r] if c == j else G_rows[r][c]) for c in range(4)]
+              for r in range(4)]
+        ws.append(det4(mj) / det)
+    return tuple(ws), det
+
+
+def lsqnonneg_4var(y_sq, G, Y):
+    """4-variable NNLS by exhaustive support enumeration (15 supports).
+
+    ``G``: 4x4 nested tuple of Gram scalars (broadcastable arrays),
+    ``Y``: tuple of 4 correlation scalars. For each non-empty support S the
+    unconstrained LS solution is computed in closed form (Cramer); it is a
+    feasible NNLS candidate iff all its weights are >= 0, with residual
+    y'y - w'Y_S. The NNLS optimum is the feasible candidate with minimum
+    residual (the empty support contributes res = y'y).
+
+    This replaces the reference's scipy.optimize.nnls-per-combination path
+    for >= 4 sub-dictionaries (mf_utils.py:612-657) with a branchless,
+    vectorizable formulation that returns the same optimum.
+    """
+    zeros = jnp.zeros_like(y_sq + G[0][0] * 0.0)
+    best_res = y_sq + zeros
+    best_w = [zeros, zeros, zeros, zeros]
+    for mask in range(1, 16):
+        S = [i for i in range(4) if mask >> i & 1]
+        G_S = tuple(tuple(G[r][c] for c in S) for r in S)
+        Y_S = tuple(Y[i] for i in S)
+        w_S, _det = _solve_posdef_cramer(G_S, Y_S)
+        feas = jnp.full_like(best_res, True, dtype=bool)
+        res = y_sq + zeros
+        for wi, yi in zip(w_S, Y_S):
+            feas = feas & (wi >= 0) & jnp.isfinite(wi)
+            res = res - wi * yi
+        res = _sanitize(jnp.where(feas, res, jnp.inf))
+        better = res < best_res
+        new_w = [zeros] * 4
+        for wi, i in zip(w_S, S):
+            new_w[i] = wi
+        best_w = [jnp.where(better, new_w[i], best_w[i]) for i in range(4)]
+        best_res = jnp.where(better, res, best_res)
+    return best_w[0], best_w[1], best_w[2], best_w[3], best_res
+
+
+# ---------------------------------------------------------------------------
+# Batched exhaustive scans (the device kernels)
+# ---------------------------------------------------------------------------
+
+def _pad_cols(A, mult):
+    """Pad trailing (atom) axis of (B, S, N) to a multiple of ``mult``."""
+    N = A.shape[-1]
+    Np = int(math.ceil(N / mult) * mult)
+    if Np == N:
+        return A, N
+    pad = [(0, 0)] * (A.ndim - 1) + [(0, Np - N)]
+    return jnp.pad(A, pad), N
+
+
+@partial(jax.jit)
+def exhaustive_1_batched(A1, y):
+    """K=1 exhaustive NNLS over a voxel batch.
+
+    A1: (B, S, N1), y: (B, S). Returns (w (B,1), ind (B,1), min_obj (B,)).
+    """
+    y_sq = jnp.sum(y * y, axis=1)
+    a11 = jnp.sum(A1 * A1, axis=1)
+    Y1 = jnp.einsum("bs,bsn->bn", y, A1,
+                    preferred_element_type=A1.dtype)
+    w, res = lsqnonneg_1var(y_sq[:, None], a11, Y1)
+    ind = jnp.argmin(res, axis=1)
+    w_best = jnp.take_along_axis(w, ind[:, None], axis=1)
+    min_obj = jnp.minimum(jnp.take_along_axis(res, ind[:, None], axis=1)[:, 0],
+                          y_sq)
+    # reference keeps w=0/ind=0 when nothing improves ||y||^2
+    improves = jnp.take_along_axis(res, ind[:, None], axis=1)[:, 0] < y_sq
+    ind = jnp.where(improves, ind, 0)
+    w_best = jnp.where(improves[:, None], w_best, 0.0)
+    return w_best, ind[:, None].astype(jnp.int32), min_obj
+
+
+def _scan_tiles_2(A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, tile):
+    """Tiled candidate scan for the 2-sub-dictionary case.
+
+    Returns (best_res (B,), best_flat (B,), best_w1, best_w2) with flat
+    candidate index i1 * N2 + i2 in reference row-major order.
+    """
+    B, S, N1p = A1p.shape
+    N2 = A2.shape[2]
+    n_tiles = N1p // tile
+
+    def body(carry, t):
+        best_res, best_flat, best_w1, best_w2 = carry
+        st = t * tile
+        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
+        a11t = lax.dynamic_slice(a11p, (0, st), (B, tile))
+        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2,
+                         preferred_element_type=A2.dtype)  # (B, tile, N2)
+        w1, w2, res = lsqnonneg_2var(y_sq[:, None, None],
+                                     a11t[:, :, None], G12,
+                                     a22[:, None, :],
+                                     Y1t[:, :, None], Y2[:, None, :])
+        i1 = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        res = jnp.where((i1 < N1)[None], res, jnp.inf)
+        flat = res.reshape(B, tile * N2)
+        loc = jnp.argmin(flat, axis=1).astype(jnp.int32)
+        val = jnp.take_along_axis(flat, loc[:, None], axis=1)[:, 0]
+        w1v = jnp.take_along_axis(w1.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+        w2v = jnp.take_along_axis(w2.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+        gflat = ((st + loc // N2) * N2 + loc % N2).astype(jnp.int32)
+        better = val < best_res  # strict: earlier candidate wins ties
+        return ((jnp.where(better, val, best_res),
+                 jnp.where(better, gflat, best_flat),
+                 jnp.where(better, w1v, best_w1),
+                 jnp.where(better, w2v, best_w2)), None)
+
+    init = (y_sq,  # objective with w = 0
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), A2.dtype),
+            jnp.zeros((B,), A2.dtype))
+    (best, _) = lax.scan(body, init, jnp.arange(n_tiles))[0], None
+    return best
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def exhaustive_2_batched(A1, A2, y, tile=_TILE_N1):
+    """K=2 exhaustive NNLS over a voxel batch.
+
+    A1: (B, S, N1), A2: (B, S, N2), y: (B, S).
+    Returns (w (B,2), ind (B,2) int32, min_obj (B,)).
+    """
+    N2 = A2.shape[2]
+    y_sq = jnp.sum(y * y, axis=1)
+    a22 = jnp.sum(A2 * A2, axis=1)
+    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=A2.dtype)
+    A1p, N1 = _pad_cols(A1, tile)
+    a11p = jnp.sum(A1p * A1p, axis=1)
+    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=A1.dtype)
+    best_res, best_flat, w1, w2 = _scan_tiles_2(
+        A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, min(tile, A1p.shape[2]))
+    i1 = best_flat // N2
+    i2 = best_flat % N2
+    w = jnp.stack([w1, w2], axis=1)
+    ind = jnp.stack([i1, i2], axis=1).astype(jnp.int32)
+    return w, ind, best_res
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def exhaustive_3_batched(A1, A2, A3, y, tile=_TILE_N1):
+    """K=3 exhaustive NNLS over a voxel batch.
+
+    Candidate order matches the reference loops (i3 outer, i1, i2 inner,
+    mf_utils.py:540-547) for identical tie-breaking.
+    Returns (w (B,3), ind (B,3) int32, min_obj (B,)).
+    """
+    B, S, _ = A1.shape
+    N2 = A2.shape[2]
+    N3 = A3.shape[2]
+    dt = A1.dtype
+    y_sq = jnp.sum(y * y, axis=1)
+    a22 = jnp.sum(A2 * A2, axis=1)
+    a33 = jnp.sum(A3 * A3, axis=1)
+    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt)
+    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt)
+    A1p, N1 = _pad_cols(A1, tile)
+    tile = min(tile, A1p.shape[2])
+    N1p = A1p.shape[2]
+    n_tiles = N1p // tile
+    a11p = jnp.sum(A1p * A1p, axis=1)
+    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt)
+
+    def body(carry, idx):
+        best_res, best_flat, bw1, bw2, bw3 = carry
+        i3 = idx // n_tiles
+        t = idx % n_tiles
+        st = t * tile
+        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
+        a11t = lax.dynamic_slice(a11p, (0, st), (B, tile))
+        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
+        G13t = lax.dynamic_slice(G13p, (0, st, 0), (B, tile, N3))
+        i3_ = i3.astype(jnp.int32)
+        A13 = jnp.take_along_axis(
+            G13t, jnp.broadcast_to(i3_.reshape(1, 1, 1), (B, tile, 1)),
+            axis=2)[:, :, 0]                       # (B, tile)
+        A23 = jnp.take_along_axis(
+            G23, jnp.broadcast_to(i3_.reshape(1, 1, 1), (B, N2, 1)),
+            axis=2)[:, :, 0]                       # (B, N2)
+        A33 = jnp.take_along_axis(
+            a33, jnp.broadcast_to(i3_.reshape(1, 1), (B, 1)), axis=1)[:, 0]
+        Y3i = jnp.take_along_axis(
+            Y3, jnp.broadcast_to(i3_.reshape(1, 1), (B, 1)), axis=1)[:, 0]
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2,
+                         preferred_element_type=dt)
+        w1, w2, w3, res = lsqnonneg_3var(
+            y_sq[:, None, None],
+            a11t[:, :, None], a22[:, None, :], A33[:, None, None],
+            G12, A13[:, :, None], A23[:, None, :],
+            Y1t[:, :, None], Y2[:, None, :], Y3i[:, None, None])
+        i1 = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        res = jnp.where((i1 < N1)[None], res, jnp.inf)
+        flat = res.reshape(B, tile * N2)
+        loc = jnp.argmin(flat, axis=1).astype(jnp.int32)
+        val = jnp.take_along_axis(flat, loc[:, None], axis=1)[:, 0]
+        w1v = jnp.take_along_axis(w1.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+        w2v = jnp.take_along_axis(w2.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+        w3v = jnp.take_along_axis(w3.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+        # reference loop order (i3, i1, i2) -> flat rank
+        gflat = ((i3 * N1p + st + loc // N2) * N2 + loc % N2).astype(jnp.int32)
+        better = val < best_res
+        return ((jnp.where(better, val, best_res),
+                 jnp.where(better, gflat, best_flat),
+                 jnp.where(better, w1v, bw1),
+                 jnp.where(better, w2v, bw2),
+                 jnp.where(better, w3v, bw3)), None)
+
+    init = (y_sq, jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), dt), jnp.zeros((B,), dt), jnp.zeros((B,), dt))
+    carry, _ = lax.scan(body, init, jnp.arange(N3 * n_tiles))
+    best_res, best_flat, w1, w2, w3 = carry
+    i3 = best_flat // (N1p * N2)
+    rem = best_flat % (N1p * N2)
+    i1 = rem // N2
+    i2 = rem % N2
+    w = jnp.stack([w1, w2, w3], axis=1)
+    ind = jnp.stack([i1, i2, i3], axis=1).astype(jnp.int32)
+    return w, ind, best_res
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
+    """K=4 exhaustive NNLS over a voxel batch (support-enumeration inner
+    solver). Intended for the fascicle+fascicle+CSF+EAR configuration where
+    N3 and N4 are small; cost scales with N3*N4 grid sweeps.
+
+    Candidate order (i4 outer, i3, i1, i2 inner) follows
+    itertools.product(range(N1), ..., range(N4)) ranking used by the
+    reference's >=4 path only up to axis order; ties across sub-dictionary
+    3/4 axes may differ from the reference in exactly-degenerate cases.
+    Returns (w (B,4), ind (B,4) int32, min_obj (B,)).
+    """
+    B, S, _ = A1.shape
+    N2, N3, N4 = A2.shape[2], A3.shape[2], A4.shape[2]
+    dt = A1.dtype
+    y_sq = jnp.sum(y * y, axis=1)
+    a22 = jnp.sum(A2 * A2, axis=1)
+    a33 = jnp.sum(A3 * A3, axis=1)
+    a44 = jnp.sum(A4 * A4, axis=1)
+    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt)
+    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt)
+    Y4 = jnp.einsum("bs,bsn->bn", y, A4, preferred_element_type=dt)
+    G34 = jnp.einsum("bsn,bsm->bnm", A3, A4, preferred_element_type=dt)
+    A1p, N1 = _pad_cols(A1, tile)
+    tile = min(tile, A1p.shape[2])
+    N1p = A1p.shape[2]
+    n_tiles = N1p // tile
+    a11p = jnp.sum(A1p * A1p, axis=1)
+    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt)
+    G14p = jnp.einsum("bsn,bsm->bnm", A1p, A4, preferred_element_type=dt)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt)
+    G24 = jnp.einsum("bsn,bsm->bnm", A2, A4, preferred_element_type=dt)
+
+    def col(Gm, i, width):
+        idx = jnp.broadcast_to(i.astype(jnp.int32).reshape(1, 1, 1),
+                               (B, width, 1))
+        return jnp.take_along_axis(Gm, idx, axis=2)[:, :, 0]
+
+    def scal(v, i):
+        idx = jnp.broadcast_to(i.astype(jnp.int32).reshape(1, 1), (B, 1))
+        return jnp.take_along_axis(v, idx, axis=1)[:, 0]
+
+    def body(carry, idx):
+        best_res, best_flat, bw = carry
+        i4 = idx // (N3 * n_tiles)
+        i3 = (idx // n_tiles) % N3
+        t = idx % n_tiles
+        st = t * tile
+        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
+        a11t = lax.dynamic_slice(a11p, (0, st), (B, tile))
+        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
+        G13t = col(lax.dynamic_slice(G13p, (0, st, 0), (B, tile, N3)), i3, tile)
+        G14t = col(lax.dynamic_slice(G14p, (0, st, 0), (B, tile, N4)), i4, tile)
+        A23c = col(G23, i3, N2)
+        A24c = col(G24, i4, N2)
+        A33 = scal(a33, i3)
+        A44 = scal(a44, i4)
+        A34 = scal(col(G34, i4, N3), i3)
+        Y3i = scal(Y3, i3)
+        Y4i = scal(Y4, i4)
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2, preferred_element_type=dt)
+
+        e = lambda x: x[:, None, None]  # (B,) -> broadcast over (tile, N2)
+        r = lambda x: x[:, :, None]     # (B, tile)
+        c = lambda x: x[:, None, :]     # (B, N2)
+        Gm = ((r(a11t), G12, r(G13t), r(G14t)),
+              (G12, c(a22), c(A23c), c(A24c)),
+              (r(G13t), c(A23c), e(A33), e(A34)),
+              (r(G14t), c(A24c), e(A34), e(A44)))
+        Yv = (r(Y1t), c(Y2), e(Y3i), e(Y4i))
+        w1, w2, w3, w4, res = lsqnonneg_4var(e(y_sq), Gm, Yv)
+
+        i1g = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        res = jnp.where((i1g < N1)[None], res, jnp.inf)
+        flat = res.reshape(B, tile * N2)
+        loc = jnp.argmin(flat, axis=1).astype(jnp.int32)
+        val = jnp.take_along_axis(flat, loc[:, None], axis=1)[:, 0]
+        wv = [jnp.take_along_axis(w.reshape(B, -1), loc[:, None], axis=1)[:, 0]
+              for w in (w1, w2, w3, w4)]
+        gflat = (((i4 * N3 + i3) * N1p + st + loc // N2) * N2 + loc % N2).astype(jnp.int32)
+        better = val < best_res
+        bw = [jnp.where(better, wv[i], bw[i]) for i in range(4)]
+        return ((jnp.where(better, val, best_res),
+                 jnp.where(better, gflat, best_flat), bw), None)
+
+    init = (y_sq, jnp.zeros((B,), jnp.int32),
+            [jnp.zeros((B,), dt) for _ in range(4)])
+    carry, _ = lax.scan(body, init, jnp.arange(N4 * N3 * n_tiles))
+    best_res, best_flat, bw = carry
+    i4 = best_flat // (N3 * N1p * N2)
+    rem = best_flat % (N3 * N1p * N2)
+    i3 = rem // (N1p * N2)
+    rem = rem % (N1p * N2)
+    i1 = rem // N2
+    i2 = rem % N2
+    w = jnp.stack(bw, axis=1)
+    ind = jnp.stack([i1, i2, i3, i4], axis=1).astype(jnp.int32)
+    return w, ind, best_res
+
+
+def exhaustive_nnls_blocks(blocks, y):
+    """Dispatch the batched exhaustive solve on a tuple of (B, S, Nk) blocks.
+
+    Returns (w (B, K), ind_subdic (B, K) int32, min_obj (B,)).
+    """
+    k = len(blocks)
+    if k == 1:
+        return exhaustive_1_batched(blocks[0], y)
+    if k == 2:
+        return exhaustive_2_batched(blocks[0], blocks[1], y)
+    if k == 3:
+        return exhaustive_3_batched(blocks[0], blocks[1], blocks[2], y)
+    if k == 4:
+        return exhaustive_4_batched(blocks[0], blocks[1], blocks[2],
+                                    blocks[3], y)
+    raise NotImplementedError(
+        "Batched exhaustive NNLS supports up to 4 sub-dictionaries; "
+        "use solve_exhaustive_posweights for the general combinatorial path.")
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible public API (single problem, NumPy in/out)
+# ---------------------------------------------------------------------------
+
+def solve_exhaustive_posweights(A, y, dicsizes, printmsg=None):
+    """Solves NNLS with 1-sparsity constraints combinatorially.
+
+    Drop-in equivalent of the reference dispatcher (mf_utils.py:115-214):
+    same arguments, validation, and 5-tuple return
+    ``(w_nneg, ind_atoms_subdic, ind_atoms_totdic, min_obj, y_recons)``.
+    K in {1, 2, 3, 4} runs on the accelerator through the batched scans;
+    K > 4 falls back to the host combinatorial loop.
+    """
+    if printmsg is not None:
+        print(printmsg, end="")
+
+    # --- Check inputs (reference semantics, mf_utils.py:157-195) ---
+    assert isinstance(A, np.ndarray), "A should be a NumPy ndarray"
+    assert A.ndim == 2, "A should be a 2D array"
+    assert not np.any(np.all(A == 0, axis=0)), "All-zero columns detected in A"
+    A = A.astype(np.float64, copy=False)
+    assert isinstance(y, np.ndarray), "y should be a NumPy ndarray"
+    y = np.array(y, dtype=np.float64)  # writeable copy
+    assert A.size > 0 and y.size > 0, "A and y should not be empty arrays"
+    msg = ("Number of rows in A (%d) should match number of elements in y"
+           " (%d)" % (A.shape[0], y.size))
+    assert A.shape[0] == y.size, msg
+    assert isinstance(dicsizes, np.ndarray), ("dicsizes should be a "
+                                              "NumPy ndarray")
+    assert np.all(dicsizes > 0), "All entries of dicsizes should be > 0"
+    dicsizes = dicsizes.astype(np.int64, copy=False)
+    msg = ("Number of columns of A (%d) does not equal sum of size of "
+           "sub-matrices in diclengths array (%d)"
+           % (A.shape[1], np.sum(dicsizes)))
+    assert A.shape[1] == np.sum(dicsizes), msg
+
+    Nvars = dicsizes.size
+    if Nvars > 4:
+        return _solve_exhaustive_posweights_general(A, y, dicsizes)
+
+    st_ind = np.zeros(Nvars, dtype=np.int64)
+    st_ind[1:] = np.cumsum(dicsizes)[:-1]
+    blocks = tuple(
+        jnp.asarray(A[np.newaxis, :, st_ind[k]:st_ind[k] + dicsizes[k]])
+        for k in range(Nvars))
+    w, ind, min_obj = exhaustive_nnls_blocks(blocks, jnp.asarray(y[np.newaxis]))
+    w = np.asarray(w[0], dtype=np.float64)
+    ind_subdic = np.asarray(ind[0], dtype=np.int32)
+    min_obj = float(min_obj[0])
+    ind_totdic = (st_ind + ind_subdic).astype(np.int32)
+    y_recons = A[:, ind_totdic] @ w
+    if Nvars == 1:
+        # reference returns scalars wrapped as arrays for K=1
+        return (w, ind_subdic, ind_totdic, min_obj, y_recons)
+    return (w, ind_subdic, ind_totdic, min_obj, y_recons)
+
+
+def solve_exhaustive_posweights_4up(A, y, diclengths):
+    """Host combinatorial path for >= 4 sub-dictionaries (reference
+    mf_utils.py:612-657): one scipy.optimize.nnls per atom combination,
+    streamed via itertools.product to stay memory-lean."""
+    return _solve_exhaustive_posweights_general(A, y, diclengths)
+
+
+def _solve_exhaustive_posweights_general(A, y, diclengths):
+    N_LSC = diclengths.size
+    end_ind = np.cumsum(diclengths)
+    st_ind = np.zeros(diclengths.size, dtype=np.int64)
+    st_ind[1:] = end_ind[:-1]
+    Nsubprob = np.prod(diclengths)
+    idx_range = tuple(np.arange(diclengths[i]) for i in range(len(diclengths)))
+
+    w_nneg = np.zeros(N_LSC)
+    ind_atoms_subdic = np.zeros(N_LSC, dtype=np.int64)
+    y_sq = np.sum(y ** 2)
+    min_obj = y_sq
+
+    cnt = 0
+    for idx in product(*idx_range):
+        cnt += 1
+        Asmall = A[:, st_ind + idx]
+        w, obj_fun_sqrt = scipy.optimize.nnls(Asmall, y)
+        obj_fun = obj_fun_sqrt * obj_fun_sqrt
+        if obj_fun < min_obj:
+            w_nneg = w
+            min_obj = obj_fun
+            ind_atoms_subdic = np.atleast_1d(idx)
+    assert Nsubprob == cnt, "Problem with number of NNLS subproblems solved"
+    ind_atoms_totdic = st_ind + ind_atoms_subdic
+    y_recons = np.dot(A[:, ind_atoms_totdic], w_nneg)
+    return (w_nneg, ind_atoms_subdic, ind_atoms_totdic, min_obj, y_recons)
+
+
+def nnls_underdetermined(X, y):
+    """Active-set NNLS for wide ("underdetermined") systems.
+
+    Lawson-Hanson/FNNLS-style algorithm matching the reference
+    (mf_utils.py:663-760). Returns (x, PP, w): non-negative solution, passive
+    set indices, and the gradient-based optimality vector A'y - A'Ax.
+    """
+    (m, n) = X.shape
+    Xty = np.dot(X.T, y)
+    # Lawson-Hanson scaled tolerance: robust when the passive set saturates
+    # the row rank (wide systems), where the reference's fixed 10*eps can
+    # cycle on numerically-singular normal equations.
+    tol = 10 * _EPS * max(np.linalg.norm(X, 1), 1.0) * max(m, n)
+    max_outer = 30 * n
+
+    S = np.zeros(n, np.int8)  # 1 = passive (positive), 0 = active (zero)
+    PP = np.zeros(0, dtype=np.int64)
+    z = np.zeros(n, np.float64)
+    x = np.zeros(n, np.float64)
+    w = Xty.copy()
+
+    def _solve_passive():
+        PP_loc = np.where(S == 1)[0]
+        XtyPP = Xty[PP_loc]
+        if PP_loc.size == 1:
+            z[PP_loc] = XtyPP / np.sum(X[:, PP_loc] ** 2)
+        elif PP_loc.size > 0:
+            XtXPP = X[:, PP_loc].T @ X[:, PP_loc]
+            z[PP_loc] = np.linalg.lstsq(XtXPP, XtyPP, rcond=None)[0]
+        return PP_loc
+
+    outer = 0
+    while np.any(S == 0) and np.any(w[S == 0] > tol) and outer < max_outer:
+        outer += 1
+        t = np.argmax(w[S == 0])
+        t = np.where(S == 0)[0][t]
+        S[t] = 1
+        z[t] = 0
+        PP = _solve_passive()
+        inner = 0
+        while np.any(z[S == 1] <= tol) and inner < max_outer:
+            inner += 1
+            QQ = (z <= tol) & (S == 1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                steps = x[QQ] / (x[QQ] - z[QQ])
+            steps[~np.isfinite(steps)] = 0.0
+            alpha = np.min(steps)
+            x += alpha * (z - x)
+            pass_turned_zero = (S == 1) & (np.abs(x) < tol)
+            S[pass_turned_zero] = 0
+            z[pass_turned_zero] = 0
+            PP = _solve_passive()
+        x[:] = z
+        w = Xty - np.dot(X.T, np.dot(X[:, PP], x[PP]))
+    return x, PP, w
