@@ -20,17 +20,11 @@ def _mat_struct_types():
         from scipy.io.matlab import mat_struct
         types.append(mat_struct)
     except ImportError:
-        pass
-    try:  # legacy location
-        from scipy.io.matlab.mio5_params import mat_struct as _ms_legacy
-        types.append(_ms_legacy)
-    except ImportError:
-        pass
-    try:  # private module in newer scipy
-        from scipy.io.matlab._mio5_params import mat_struct as _ms_priv
-        types.append(_ms_priv)
-    except ImportError:
-        pass
+        try:  # legacy location (pre-1.8)
+            from scipy.io.matlab.mio5_params import mat_struct as _ms_legacy
+            types.append(_ms_legacy)
+        except ImportError:
+            pass
     return tuple(set(types))
 
 

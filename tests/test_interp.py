@@ -1,0 +1,212 @@
+"""Dictionary rotation / interpolation tests.
+
+Mirrors the reference integration suite
+(/root/reference/tests/integration/test_PGSE_from_multishell.py): UKBB
+subject dictionary interpolated from the dense 90-direction sampling vs the
+Monte-Carlo ground truth (< 1e-2 gate, ~6e-3 expected), fast (pre-initialized
+tables) vs one-shot equivalence (<= 1e-7), plus new coverage: a scipy
+interp1d oracle and analytic-tensor rotation checks for rotate_atom and
+rotate_atom_2Dprotocol.
+"""
+
+import numpy as np
+import pytest
+from scipy.interpolate import interp1d
+
+from conftest import fixture_path, has_fixture
+
+from microstructure_fingerprinting_tpu.ops import interp as mfi
+from microstructure_fingerprinting_tpu.utils import io as mfio
+from microstructure_fingerprinting_tpu.utils import scheme as schm
+
+UKBB_OK = has_fixture("ukbb_90_dirs_dictionary_hcp_deltas.mat") and \
+    has_fixture("1000521_dictionary_hcp_deltas.mat")
+
+
+def _subject_scheme():
+    """UKBB subject scheme built from bvals/bvecs + dense deltas (mirrors
+    reference test :177-204)."""
+    gam = schm.get_gyromagnetic_ratio("hydrogen")
+    bvals = np.loadtxt(fixture_path("1000521_bvals.txt"))
+    bvecs = np.loadtxt(fixture_path("1000521_bvecs.txt"))
+    dense = schm.import_PGSE_scheme(fixture_path("ukbb_scheme_90_dirs.scheme"))
+    sch = np.zeros((bvals.size, 7))
+    sch[:, :3] = bvecs.T
+    sch[:, 4:7] = dense[0, 4:7]
+    Del, dl = sch[:, 4], sch[:, 5]
+    sch[:, 3] = np.sqrt(bvals * 1e6 / (Del - dl / 3)) / (gam * dl)
+    sch[:, 3] = np.minimum(sch[:, 3], np.max(dense[:, 3]))
+    return sch
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixtures unavailable")
+def test_fast_equals_slow_ukbb():
+    dic = mfio.loadmat(fixture_path("ukbb_90_dirs_dictionary_hcp_deltas.mat"))
+    sch_subj = _subject_scheme()
+    sig_slow = mfi.interp_PGSE_from_multishell(
+        sch_subj, dic["orientation"], dic["dictionary"], dic["sch_mat"],
+        dic["orientation"])
+    ms = mfi.init_PGSE_multishell_interp(dic["dictionary"], dic["sch_mat"],
+                                         dic["orientation"])
+    sig_fast = mfi.interp_PGSE_from_multishell(sch_subj, dic["orientation"],
+                                               msinterp=ms)
+    assert np.all(np.abs(sig_slow - sig_fast) <= 1e-7)
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixtures unavailable")
+def test_interp_vs_monte_carlo_ground_truth():
+    """Golden accuracy gate vs MC-phase ground truth (reference :262-267)."""
+    dic = mfio.loadmat(fixture_path("ukbb_90_dirs_dictionary_hcp_deltas.mat"))
+    gt = mfio.loadmat(fixture_path("1000521_dictionary_hcp_deltas.mat"))
+    sch_subj = _subject_scheme()
+    sig = mfi.interp_PGSE_from_multishell(
+        sch_subj, dic["orientation"], dic["dictionary"], dic["sch_mat"],
+        dic["orientation"])
+    AE = np.abs(sig - gt["dictionary"])
+    assert np.max(AE) < 1e-2, "max abs err %g vs 1e-2 gate" % np.max(AE)
+    # documented headline accuracy: ~6.09e-3 for subject 1000521, 90 dirs
+    assert np.max(AE) < 7e-3, "max abs err %g above expected ~6.1e-3" \
+        % np.max(AE)
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixtures unavailable")
+def test_interp_matches_scipy_oracle():
+    """Our padded-table device kernel == per-shell scipy interp1d oracle."""
+    dic = mfio.loadmat(fixture_path("ukbb_90_dirs_dictionary_hcp_deltas.mat"))
+    sch_ms = np.asarray(dic["sch_mat"], dtype=np.float64)
+    sig_ms = np.asarray(dic["dictionary"], dtype=np.float64)[:, ::50]
+    ordir = np.squeeze(np.asarray(dic["orientation"], dtype=np.float64))
+    sch_subj = _subject_scheme()
+    rng = np.random.RandomState(7)
+    newdir = rng.randn(3)
+    newdir /= np.linalg.norm(newdir)
+
+    ours = mfi.interp_PGSE_from_multishell(sch_subj, newdir, sig_ms, sch_ms,
+                                           ordir)
+
+    # independent oracle following the documented reference math
+    dots_ms = np.abs(sch_ms[:, :3] @ ordir)
+    Gms_un, i_Gms = np.unique(sch_ms[:, 3], return_inverse=True)
+    interps = []
+    for i, g in enumerate(Gms_un):
+        ind = np.where(i_Gms == i)[0]
+        if g == 0:
+            interps.append(interp1d([0, 1],
+                                    np.repeat(sig_ms[ind[0:1], :], 2, axis=0),
+                                    axis=0, fill_value="extrapolate"))
+            continue
+        xs, fi = np.unique(dots_ms[ind], return_index=True)
+        ys = sig_ms[ind, :][fi, :]
+        near = np.abs(xs - xs[0]) < 1e-3
+        if near.sum() > 1:
+            xs = np.concatenate(([xs[near].mean()], xs[near.sum():]))
+            ys = np.concatenate((ys[near].mean(0, keepdims=True),
+                                 ys[near.sum():]), axis=0)
+        interps.append(interp1d(xs, ys, axis=0, fill_value="extrapolate",
+                                assume_sorted=True))
+    dots_new = np.abs(sch_subj[:, :3] @ newdir)
+    oracle = np.zeros((sch_subj.shape[0], sig_ms.shape[1]))
+    for i in range(sch_subj.shape[0]):
+        G = sch_subj[i, 3]
+        j = np.where(G == Gms_un)[0]
+        if j.size:
+            oracle[i] = interps[j[0]](dots_new[i])
+        else:
+            hi = int(np.argmax(Gms_un > G))
+            lo = hi - 1
+            w = (G - Gms_un[lo]) / (Gms_un[hi] - Gms_un[lo])
+            oracle[i] = ((1 - w) * interps[lo](dots_new[i])
+                         + w * interps[hi](dots_new[i]))
+    assert np.max(np.abs(ours - oracle)) < 1e-10
+
+
+def _tensor_signal(sch_mat, fascdir, d_par=2.0e-9, d_perp=0.4e-9):
+    """Analytic single-tensor signal: a pure function of |g.n| per shell."""
+    b = schm.b_values(sch_mat)
+    gnorm = np.sqrt(np.sum(sch_mat[:, :3] ** 2, axis=1))
+    gnorm[gnorm == 0] = np.inf
+    dot = (sch_mat[:, :3] / gnorm[:, None]) @ fascdir
+    return np.exp(-b * (d_par * dot ** 2 + d_perp * (1 - dot ** 2)))
+
+
+def test_rotate_atom_analytic(rng):
+    """rotate_atom on an analytic tensor signal reproduces the analytically
+    rotated signal (dense shells -> small interpolation error)."""
+    n_dirs, n_b0 = 60, 4
+    dirs = rng.randn(n_dirs, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    for G in (0.03, 0.06):
+        sh = np.zeros((n_dirs, 7))
+        sh[:, :3] = dirs
+        sh[:, 3] = G
+        sh[:, 4:7] = [0.03, 0.01, 0.05]
+        rows.append(sh)
+    b0 = np.zeros((n_b0, 7))
+    b0[:, 4:7] = [0.03, 0.01, 0.05]
+    sch = np.vstack([b0] + rows)
+
+    ordir = np.array([0.0, 0.0, 1.0])
+    newdir = rng.randn(3)
+    newdir /= np.linalg.norm(newdir)
+    DIFF = 2.0e-9
+    sig = _tensor_signal(sch, ordir, d_par=DIFF)[:, None]
+    S0 = np.ones_like(sig)
+    got = mfi.rotate_atom(sig, sch, ordir, newdir, DIFF, S0, warnings=False)
+    want = _tensor_signal(sch, newdir, d_par=DIFF)[:, None]
+    assert np.max(np.abs(got - want)) < 2e-3
+
+
+def test_rotate_atom_identity_on_knots(rng):
+    """Rotating to the same direction reproduces the signal at shells whose
+    dot products are untouched by cluster merging."""
+    n_dirs = 30
+    dirs = rng.randn(n_dirs, 3)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    sch = np.zeros((n_dirs, 7))
+    sch[:, :3] = dirs
+    sch[:, 3] = 0.05
+    sch[:, 4:7] = [0.03, 0.01, 0.05]
+    ordir = np.array([0.0, 0.0, 1.0])
+    sig = rng.rand(n_dirs, 2) + 0.5
+    S0 = np.ones((n_dirs, 2))
+    got = mfi.rotate_atom(sig, sch, ordir, ordir, 2e-9, S0, warnings=False)
+    dots = np.abs(dirs @ ordir)
+    untouched = dots > dots.min() + 1e-3
+    # dedup keeps the first occurrence; with random dirs all dots unique
+    assert np.allclose(got[untouched], sig[untouched])
+
+
+def test_rotate_atom_2dprotocol():
+    """2D AxCaliber rotation on an analytic separable signal."""
+    sch = schm.import_PGSE_scheme(fixture_path(
+        "2D_qspace_clean_rot_xy.scheme")) if has_fixture(
+        "2D_qspace_clean_rot_xy.scheme") else None
+    if sch is None:
+        pytest.skip("2D scheme fixture unavailable")
+    gam = schm.get_gyromagnetic_ratio("H")
+    DIFF = 2.0e-9
+    c_perp = 2e-4  # Gaussian perpendicular attenuation scale [T/m]^-2
+
+    def analytic(fascdir):
+        G = sch[:, 3]
+        gvec = sch[:, :3] * G[:, None]
+        Gpar = np.abs(gvec @ fascdir)
+        Gperp2 = np.sum(gvec ** 2, axis=1) - Gpar ** 2
+        b_par = (gam * sch[:, 5] * Gpar) ** 2 * (sch[:, 4] - sch[:, 5] / 3)
+        return np.exp(-b_par * DIFF) * np.exp(-c_perp * Gperp2 / 1e-4)
+
+    refdir = np.array([0.0, 0.0, 1.0])  # all xy gradients perpendicular
+    sig_ref = analytic(refdir)[:, None]
+
+    # identity rotation is exact
+    same = mfi.rotate_atom_2Dprotocol(sig_ref, sch, refdir, refdir, DIFF)
+    assert np.allclose(same, sig_ref, atol=1e-12)
+
+    # tilt the fascicle: parallel part handled analytically, perpendicular
+    # part interpolated along the acquisition lines
+    th = np.deg2rad(25.0)
+    newdir = np.array([np.sin(th), 0.0, np.cos(th)])
+    got = mfi.rotate_atom_2Dprotocol(sig_ref, sch, refdir, newdir, DIFF)
+    want = analytic(newdir)[:, None]
+    assert np.max(np.abs(got - want)) < 2e-2
