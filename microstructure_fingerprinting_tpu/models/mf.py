@@ -1,0 +1,689 @@
+"""Microstructure Fingerprinting user API (DIPY-style model / fit objects).
+
+Behavioral equivalent of the reference mf.py: ``MFModel`` (mf.py:464-1051),
+``MFModelFit`` (mf.py:1054-1229) and ``cleanup_2fascicles`` (mf.py:36-335),
+re-architected for TPU:
+
+  * model init precomputes device-resident interpolation tables once
+    (reference builds scipy interpolators, mf.py:506-509);
+  * ``fit`` marshals inputs on the host exactly like the reference
+    (paths / arrays / scalars accepted everywhere), then groups masked
+    voxels by configuration (number of fascicles, CSF, EAR) and runs the
+    fused rotation+solve device step over fixed-size voxel batches —
+    replacing the multiprocessing.Pool voxel loop (mf.py:978-1028);
+  * optional ``parallel=True`` shards voxel batches across the jax device
+    mesh (data parallelism; the dictionary is replicated).
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import io as mfio
+from ..utils import nifti
+from ..utils import scheme as schm
+from ..ops import interp as mfi
+from ..ops import dti
+from . import fit as fit_mod
+
+
+def _load_volume(source, want_affine=False):
+    if isinstance(source, (str, os.PathLike)):
+        img = nifti.load(source)
+        return (img.get_fdata(), img.affine) if want_affine \
+            else (img.get_fdata(), None)
+    return np.asarray(source), None
+
+
+def cleanup_2fascicles(frac1, frac2, peakmode, mu1, mu2, mask, frac12=None):
+    """Clean up detected fascicle orientations ("peaks").
+
+    Selects 0, 1 or 2 of the 2 detected peaks per voxel and updates their
+    orientations based on the fascicle weights and crossing angles, removing
+    spurious peaks (method of Rensonnet et al., NeuroImage 2019; reference
+    mf.py:36-335 with the same thresholds).
+
+    Returns (peaks_out (..., 6), num_fasc_out (...)).
+    """
+    ratio = 2.5     # large/small fraction ratio above which small is dropped
+    w_keep = 0.20   # relative weight that always survives
+    w_small = 0.075  # absolute weight below which a fascicle is dropped
+    ang_min = 15    # merge angle [deg]
+
+    if (frac1 is None or frac2 is None) and frac12 is None:
+        raise ValueError(
+            "If fractions of first and second fascicles set to None,"
+            " argument frac12 is required to specify both fractions"
+            " simultanously. A total of 6 arguments should be passed,"
+            " not 5.")
+
+    mask, _ = _load_volume(mask)
+    if frac1 is not None:
+        frac1, _ = _load_volume(frac1)
+    if frac2 is not None:
+        frac2, _ = _load_volume(frac2)
+    if frac12 is not None:
+        frac12, _ = _load_volume(frac12)
+        if frac12.shape[-1] < 2:
+            raise ValueError("Last dimension of frac12 should have size"
+                             " at least 2.")
+        if frac12.shape[mask.ndim] == 1:  # (..., 1, 2) singleton axis
+            frac1 = frac12[..., 0, 0]
+            frac2 = frac12[..., 0, 1]
+        else:
+            frac1 = frac12[..., 0]
+            frac2 = frac12[..., 1]
+
+    if frac1.shape != mask.shape:
+        raise ValueError("frac1 should have the same shape as mask")
+    if frac2.shape != mask.shape:
+        raise ValueError("frac2 should have the same shape as mask")
+
+    mu1, _ = _load_volume(mu1)
+    mu2, _ = _load_volume(mu2)
+
+    if peakmode == 'colat_longit':
+        lastdimsize = 2
+    elif peakmode == 'peaks':
+        lastdimsize = 3
+    elif peakmode == 'tensor':
+        lastdimsize = 6
+        # tensor volumes often carry a singleton next-to-last axis
+        if mu1.shape[mask.ndim] == 1:
+            mu1 = mu1[..., 0, :]
+        if mu2.shape[mask.ndim] == 1:
+            mu2 = mu2[..., 0, :]
+    else:
+        raise ValueError('Unknown peak mode %s' % peakmode)
+    if mu1.shape[-1] != lastdimsize or mu2.shape[-1] != lastdimsize:
+        raise ValueError('In \'%s\' peak mode, last dimension of mu1 and mu2'
+                         ' should have size %d. Detected %d and %d.'
+                         % (peakmode, lastdimsize,
+                            mu1.shape[-1], mu2.shape[-1]))
+
+    in_mask = mask > 0
+    ROI_size = int(np.sum(in_mask))
+    frac1 = frac1[in_mask]
+    frac2 = frac2[in_mask]
+    mu1 = mu1[in_mask]
+    mu2 = mu2[in_mask]
+    max_peaks = 2
+
+    frac = np.zeros((ROI_size, max_peaks))
+    frac[:, 0] = frac1
+    frac[:, 1] = frac2
+    peaks = np.zeros((ROI_size, 3 * max_peaks))
+    num_fasc = np.ones(ROI_size) * max_peaks
+
+    if peakmode == 'colat_longit':
+        for (m, st) in ((mu1, 0), (mu2, 3)):
+            peaks[:, st + 0] = np.sin(m[..., 0]) * np.cos(m[..., 1])
+            peaks[:, st + 1] = np.sin(m[..., 0]) * np.sin(m[..., 1])
+            peaks[:, st + 2] = np.cos(m[..., 0])
+    elif peakmode == 'peaks':
+        peaks[:, :3] = mu1
+        peaks[:, 3:6] = mu2
+    else:  # tensor
+        peaks[:, :3] = dti.principal_eigenvectors(
+            dti.DT_vec_to_2Darray(mu1, order='column'))
+        peaks[:, 3:6] = dti.principal_eigenvectors(
+            dti.DT_vec_to_2Darray(mu2, order='column'))
+
+    # 1) merge directions closer than ang_min (sign-aware weighted sum)
+    dp_max = np.cos(ang_min * np.pi / 180)
+    dp = np.sum(peaks[:, :3] * peaks[:, 3:6], axis=-1)
+    dp_abs = np.abs(np.clip(dp, -1, 1))
+    merge = dp_abs > dp_max
+    if np.any(merge):
+        sign_dp = np.sign(dp[merge])
+        peaks[merge, :3] = (peaks[merge, :3]
+                            + peaks[merge, 3:6] * sign_dp[:, np.newaxis])
+        norm_merged = np.sqrt(np.sum(peaks[merge, :3] ** 2, axis=1))
+        peaks[merge, :3] = peaks[merge, :3] / norm_merged[:, np.newaxis]
+        peaks[merge, 3:6] = 0
+        frac[merge, 0] = frac1[merge] + frac2[merge]
+        frac[merge, 1] = 0
+        num_fasc[merge] = 1
+
+    # 2a) fascicle 0 relatively too small: transfer fascicle 1 onto slot 0
+    f0small = (frac[:, 1] > ratio * frac[:, 0]) & (frac[:, 0] < w_keep)
+    if np.any(f0small):
+        peaks[f0small, :3] = peaks[f0small, 3:6]
+        peaks[f0small, 3:6] = 0
+        frac[f0small, 0] = frac[f0small, 1]
+        frac[f0small, 1] = 0
+        num_fasc[f0small] = (frac[f0small, 0] > 0) * 1
+
+    # 2b) fascicle 1 relatively too small: drop without transfer
+    f1small = (frac[:, 0] > ratio * frac[:, 1]) & (frac[:, 1] < w_keep)
+    if np.any(f1small):
+        peaks[f1small, 3:6] = 0
+        frac[f1small, 1] = 0
+        num_fasc[f1small] = (frac[f1small, 0] > 0) * 1
+
+    # 3) absolute small-weight pruning
+    w0small = frac[:, 0] < w_small
+    if np.any(w0small):
+        peaks[w0small, :3] = 0
+        frac[w0small, 0] = 0
+        num_fasc[w0small] = num_fasc[w0small] - 1
+    w1small = frac[:, 1] < w_small
+    if np.any(w1small):
+        peaks[w1small, 3:6] = 0
+        frac[w1small, 1] = 0
+        num_fasc[w1small] = (frac[w1small, 0] > 0) * 1
+
+    # 4) sort peak triples by descending fraction
+    i_srt = np.argsort(frac, axis=-1)[:, ::-1]
+    peaks = np.take_along_axis(
+        peaks.reshape(ROI_size, max_peaks, 3),
+        i_srt[:, :, np.newaxis], axis=1).reshape(ROI_size, 3 * max_peaks)
+
+    peaks_out = np.zeros(mask.shape + (6,))
+    peaks_out[in_mask] = peaks
+    num_fasc_out = np.zeros(mask.shape)
+    num_fasc_out[in_mask] = num_fasc
+    return peaks_out, num_fasc_out
+
+
+class MFModel(object):
+    """Microstructure Fingerprinting model (reference mf.py:464-514).
+
+    Parameters
+    ----------
+    dictionary : str or dict
+        Path to a Matlab .mat file or an equivalent Python dict. Expected
+        keys (reference data contract, SURVEY.md section 2.8): ``dictionary``
+        (Nseq_dense, num_atom), ``sch_mat`` (Nseq_dense, 7), ``orientation``
+        (3,), ``num_atom``, ``num_ear``, ``fasc_propnames`` plus one per-atom
+        array per property, ``T2_csf``/``DIFF_csf`` and ``T2_ear``/
+        ``DIFF_ear`` for the optional compartments.
+    """
+
+    MAX_FASC = 2          # max fascicles per voxel
+    MAX_PROG_LINES = 100  # progress-print budget
+    DFT_DISP_ITVL = 5     # default progress interval
+    DEFAULT_BATCH = 128   # voxel batch per compiled device step
+
+    def __init__(self, dictionary):
+        if isinstance(dictionary, str):
+            self.dic = mfio.loadmat(dictionary)
+        elif isinstance(dictionary, dict):
+            self.dic = dictionary
+        else:
+            raise ValueError("Dictionary should either be a valid path to a"
+                             " Matlab-like mat file or a Python dictionary.")
+        dic = self.dic
+        self.num_atom = int(dic.get("num_atom",
+                                    np.shape(dic["dictionary"])[1]))
+        self.num_ear = int(dic.get("num_ear",
+                                   np.size(dic.get("DIFF_ear",
+                                                   dic.get("Dear", [])))))
+        # Device-resident interpolation tables, computed once.
+        self.ms_interpolator = mfi.init_PGSE_multishell_interp(
+            dic["dictionary"], dic["sch_mat"], dic["orientation"])
+        print("Initiated model based on dictionary with %d single-fascicle"
+              " fingerprint(s) and %d fingerprint(s) for the extra-axonal"
+              " restricted (EAR) compartment." %
+              (self.num_atom, self.num_ear))
+
+    # -- host marshalling helpers -------------------------------------
+
+    def _propnames(self):
+        raw = self.dic.get("fasc_propnames", [])
+        if isinstance(raw, str):
+            raw = [raw]
+        return [str(x).strip() for x in np.atleast_1d(raw)]
+
+    def fit(self,
+            data, mask, numfasc, *,
+            peaks=None, colat_longit=None, tensors=None,
+            pgse_scheme=None, bvals=None, bvecs=None,
+            csf_mask=None, ear_mask=None,
+            verbose=1, parallel=False, batch_size=None):
+        """Fit the fingerprinting model in every masked voxel.
+
+        Same argument contract as the reference ``MFModel.fit``
+        (mf.py:516-616): every array argument also accepts a NIfTI path
+        (and scalars for masks / numfasc). ``parallel=True`` shards voxel
+        batches over all jax devices instead of spawning processes.
+        Returns an :class:`MFModelFit`.
+        """
+        VRB = verbose
+        nii_affine = None
+
+        # ---- data & mask ----
+        if isinstance(data, (str, os.PathLike)):
+            st_0 = time.time()
+            if VRB >= 2:
+                print("Loading data from file %s..." % data)
+            img = nifti.load(data)
+            nii_affine = img.affine
+            data_arr = img.get_fdata()
+            if VRB >= 2:
+                print("Data loaded in %g s." % (time.time() - st_0))
+        else:
+            data_arr = np.asarray(data)
+
+        if isinstance(mask, (str, os.PathLike)):
+            img = nifti.load(mask)
+            if nii_affine is None:
+                nii_affine = img.affine
+            mask_arr = img.get_fdata()
+        else:
+            mask_arr = np.asarray(mask)
+
+        img_shape = mask_arr.shape
+        in_mask = mask_arr > 0
+        ROI_size = int(np.sum(in_mask))
+        if ROI_size == 0:
+            raise ValueError("No voxel detected in mask. Please provide "
+                             "a non-empty mask.")
+        if data_arr.shape[:-1] != img_shape:
+            raise ValueError("Data and mask not compatible. Based on data,"
+                             " mask should have shape (%s), got (%s)"
+                             " instead." %
+                             (" ".join("%d" % x for x in data_arr.shape[:-1]),
+                              " ".join("%d" % x for x in img_shape)))
+
+        # ---- number of fascicles ----
+        if np.isscalar(numfasc) and not isinstance(numfasc, str):
+            numfasc_roi = np.full(ROI_size, int(numfasc), dtype=int)
+        else:
+            if isinstance(numfasc, (str, os.PathLike)):
+                numfasc_roi = nifti.load(numfasc).get_fdata()
+            else:
+                numfasc_roi = np.asarray(numfasc)
+            if mask_arr.shape != numfasc_roi.shape:
+                raise ValueError("Data and argument numfasc not compatible."
+                                 "  Based on data, numfasc should have "
+                                 "shape (%s), got (%s) instead." %
+                                 (" ".join("%d" % x for x in img_shape),
+                                  " ".join("%d" % x
+                                           for x in numfasc_roi.shape)))
+            numfasc_roi = numfasc_roi[in_mask].astype(int)
+        maxfasc = int(np.max(numfasc_roi)) if numfasc_roi.size else 0
+        if maxfasc > MFModel.MAX_FASC:
+            raise ValueError("Detected %d mask voxel(s) in numfasc with"
+                             " number of axon populations greater than"
+                             " allowed maximum of %d." %
+                             (int(np.sum(numfasc_roi > MFModel.MAX_FASC)),
+                              MFModel.MAX_FASC))
+
+        # ---- fascicle directions (peaks / colat_longit / tensors) ----
+        peaks_roi = self._marshal_peaks(peaks, colat_longit, tensors,
+                                        in_mask, img_shape, mask_arr,
+                                        maxfasc, ROI_size, VRB)
+        if isinstance(peaks_roi, tuple):  # affine came back with it
+            peaks_roi, aff = peaks_roi
+            if nii_affine is None:
+                nii_affine = aff
+
+        # every declared population must have a non-zero direction
+        for i in range(maxfasc):
+            n = i + 1
+            sel = numfasc_roi >= n
+            peak_L1 = np.sum(np.abs(peaks_roi[sel, (n - 1) * 3:3 * n]),
+                             axis=1)
+            num_0 = int(np.sum(peak_L1 == 0))
+            if num_0 > 0:
+                raise ValueError("Detected %d voxel(s) in which the main "
+                                 "orientation of axon population %d/%d was "
+                                 "a zero vector, although numfasc "
+                                 "specifies the presence of that "
+                                 "population." % (num_0, n, maxfasc))
+
+        # ---- acquisition scheme ----
+        if pgse_scheme is not None:
+            if isinstance(pgse_scheme, (str, os.PathLike)):
+                pgse_scheme = schm.load_scheme_text(pgse_scheme)
+            pgse_scheme = np.asarray(pgse_scheme, dtype=np.float64)
+            if pgse_scheme.shape[1] != 7:
+                raise ValueError("pgse_scheme should have 7 columns, "
+                                 " detected %d instead." %
+                                 (pgse_scheme.shape[1],))
+        else:
+            if bvals is None or bvecs is None:
+                raise TypeError("If no schemefile is provided, then both"
+                                " bvals and bvecs must be specified.")
+            pgse_scheme = schm.get_PGSE_scheme_from_bval_bvec_dense(
+                self.dic["sch_mat"], bvals, bvecs, Gtol=1e-3)
+        num_seq = pgse_scheme.shape[0]
+        if data_arr.shape[-1] != num_seq:
+            raise ValueError("Data has %d volumes along its last dimension "
+                             "but the acquisition scheme describes %d "
+                             "sequences." % (data_arr.shape[-1], num_seq))
+        b = schm.b_values(pgse_scheme)
+        TE = pgse_scheme[:, 6]
+
+        # ---- optional compartment masks ----
+        csf_mask_roi, aff = self._marshal_flag_mask(
+            csf_mask, "csf_mask", in_mask, img_shape, ROI_size)
+        if nii_affine is None:
+            nii_affine = aff
+        ear_mask_roi, aff = self._marshal_flag_mask(
+            ear_mask, "ear_mask", in_mask, img_shape, ROI_size)
+        if nii_affine is None:
+            nii_affine = aff
+        csf_on = bool(np.any(csf_mask_roi))
+        ear_on = bool(np.any(ear_mask_roi))
+
+        n_empty = int(np.sum((numfasc_roi + csf_mask_roi
+                              + ear_mask_roi) == 0))
+        if n_empty > 0 and VRB >= 2:
+            print("WARNING: detected %d voxel(s) in mask with zero "
+                  " axon population, no cerebrospinal fluid (CSF) and no"
+                  " extra-axonal restricted (EAR) compartment specified."
+                  " No estimation will be performed there." % (n_empty,))
+
+        # ---- subject-specific CSF / EAR fingerprints ----
+        sig_csf = None
+        sig_ear = None
+        if csf_on:
+            sig_csf = (np.exp(-TE / self.dic["T2_csf"])
+                       * np.exp(-b * self.dic["DIFF_csf"]))
+        if ear_on:
+            DIFF_ear = np.atleast_1d(self.dic["DIFF_ear"])
+            sig_ear = (np.exp(-TE / self.dic["T2_ear"])[:, None]
+                       * np.exp(-b[:, None] * DIFF_ear[None, :]))
+
+        # ---- device plan ----
+        plan_h = mfi.plan_target_scheme(self.ms_interpolator, pgse_scheme)
+        tables = self.ms_interpolator.device_tables()
+        dtype = tables[0].dtype
+        plan = (jnp.asarray(plan_h.gdir, dtype=dtype),
+                jnp.asarray(plan_h.shell_lo),
+                jnp.asarray(plan_h.shell_hi),
+                jnp.asarray(plan_h.wG, dtype=dtype))
+
+        # ---- bucket voxels by configuration and run the device steps ----
+        y_roi = data_arr[in_mask]  # (ROI_size, Nseq), np.where ordering
+        num_params = 1 + maxfasc * 2 + csf_on * 1 + ear_on * 2 + 2
+        params = np.zeros((ROI_size, num_params))
+        i_csf = 2 * maxfasc + 1
+        i_ear = 2 * maxfasc + csf_on + 1
+        i_mse = 2 * maxfasc + csf_on + 2 * ear_on + 1
+        i_r2 = i_mse + 1
+
+        batch = batch_size or MFModel.DEFAULT_BATCH
+        mesh = None
+        if parallel and len(jax.devices()) > 1:
+            from ..parallel import mesh as pmesh
+            mesh = pmesh.build_mesh(n_atoms=1)
+            n_data = mesh.shape["data"]
+            batch = max(batch // n_data, 1) * n_data  # divisible chunks
+        st_est = time.time()
+        if VRB >= 2:
+            print("Starting estimation in %d voxel(s) in %s mode." %
+                  (ROI_size,
+                   "device-parallel (%d devices)" % len(jax.devices())
+                   if mesh is not None else "batched"))
+
+        configs = {}
+        for i in range(ROI_size):
+            key = (int(numfasc_roi[i]), bool(csf_mask_roi[i]),
+                   bool(ear_mask_roi[i]))
+            if key == (0, False, False):
+                continue  # stays all-zero (reference mf.py:387-388)
+            configs.setdefault(key, []).append(i)
+
+        for (K, has_csf, has_ear), idx_list in sorted(configs.items()):
+            idx = np.asarray(idx_list)
+            if VRB >= 3:
+                print("Config K=%d csf=%d ear=%d: %d voxel(s)"
+                      % (K, has_csf, has_ear, idx.size))
+            w, ind, obj, mse, r2 = fit_mod.run_bucket(
+                tables, plan,
+                peaks_roi[idx, :3 * K] if K > 0 else np.zeros((idx.size, 0)),
+                y_roi[idx], sig_csf, sig_ear,
+                K, has_csf, has_ear, batch=batch, mesh=mesh)
+            M0 = np.sum(w, axis=1)
+            nu = np.where(np.abs(M0)[:, None] > 0, w /
+                          np.where(np.abs(M0)[:, None] > 0,
+                                   M0[:, None], 1.0), w)
+            params[idx, 0] = M0
+            if K > 0:
+                params[np.ix_(idx, np.arange(1, K + 1))] = nu[:, :K]
+                params[np.ix_(idx, np.arange(1 + maxfasc,
+                                             1 + maxfasc + K))] = ind[:, :K]
+            c = K
+            if has_csf:
+                params[idx, i_csf] = nu[:, c]
+                c += 1
+            if has_ear:
+                params[idx, i_ear] = nu[:, c]
+                params[idx, i_ear + 1] = ind[:, c]
+            params[idx, i_mse] = mse
+            params[idx, i_r2] = r2
+
+        if VRB >= 2:
+            print("Estimation performed in %g second(s)."
+                  % (time.time() - st_est))
+
+        fitinfo = {"maxfasc": maxfasc,
+                   "csf_on": csf_on,
+                   "ear_on": ear_on,
+                   "affine": nii_affine,
+                   "mask": mask_arr,
+                   "fasc_propnames": self._propnames(),
+                   "peaks_roi": peaks_roi}
+        for n in fitinfo["fasc_propnames"]:
+            fitinfo["_dict_" + n] = np.asarray(self.dic[n])
+        if ear_on:
+            fitinfo["DIFF_ear"] = np.atleast_1d(self.dic["DIFF_ear"])
+        return MFModelFit(fitinfo, params, verbose=VRB)
+
+    def _marshal_peaks(self, peaks, colat_longit, tensors, in_mask,
+                       img_shape, mask_arr, maxfasc, ROI_size, VRB):
+        """Build the (ROI_size, 3*maxfasc) peaks array from any of the three
+        orientation input styles (reference mf.py:693-800)."""
+        nii_affine = None
+        if peaks is not None:
+            if isinstance(peaks, (str, os.PathLike)):
+                img = nifti.load(peaks)
+                peaks_vol = img.get_fdata()
+                nii_affine = img.affine
+            else:
+                peaks_vol = np.asarray(peaks)
+            pk_sh = peaks_vol.shape
+            if pk_sh[:-1] != img_shape:
+                raise ValueError("Arg. peaks not compatible. Based on data,"
+                                 " it should have shape (%s x), with x a "
+                                 "multiple of 3. Got (%s) instead." %
+                                 (" ".join("%d" % x for x in img_shape),
+                                  " ".join("%d" % x for x in pk_sh)))
+            if pk_sh[-1] % 3 != 0:
+                raise ValueError("Size of last dimension of arg. peaks"
+                                 " should be a multiple of 3, got %d"
+                                 " instead." % pk_sh[-1])
+            if pk_sh[-1] > maxfasc * 3 and VRB >= 1:
+                print("Ignoring last %d value(s) along last dimension of"
+                      " peaks, as max number of axon populations in mask"
+                      " is %d." % (pk_sh[-1] - maxfasc * 3, maxfasc))
+            return peaks_vol[in_mask][:, :3 * maxfasc], nii_affine
+
+        if colat_longit is not None:
+            peak_arg = colat_longit
+            datadim = ((2,),)
+        elif tensors is not None:
+            peak_arg = tensors
+            datadim = ((6,), (1, 6))
+        else:
+            raise RuntimeError("At least one of peaks, colat_longit and"
+                               " tensors must be specified.")
+
+        if not isinstance(peak_arg, list):
+            peak_arg = [peak_arg]
+        peaks_roi = np.zeros((ROI_size, 3 * max(len(peak_arg), maxfasc)))
+        if len(peak_arg) > maxfasc and VRB >= 1:
+            print("Ignoring %d peak orientation argument(s) because"
+                  " max number of axon populations in mask is %d." %
+                  (len(peak_arg) - maxfasc, maxfasc))
+        for i in range(min(len(peak_arg), maxfasc)):
+            if isinstance(peak_arg[i], (str, os.PathLike)):
+                img = nifti.load(peak_arg[i])
+                arg_i = img.get_fdata()
+                if nii_affine is None:
+                    nii_affine = img.affine
+            else:
+                arg_i = np.asarray(peak_arg[i])
+            sh_i = arg_i.shape
+            if sh_i not in [img_shape + d for d in datadim]:
+                dims = " or ".join(
+                    "(" + " ".join("%d" % x for x in img_shape + d) + ")"
+                    for d in datadim)
+                raise ValueError("Peak orientation arg. %d of %d seems "
+                                 "incompatible. Based on data, it should"
+                                 " have shape %s, got (%s) instead." %
+                                 (i + 1, len(peak_arg), dims,
+                                  " ".join("%d" % x for x in sh_i)))
+            if colat_longit is not None:
+                th = arg_i[in_mask][:, 0]
+                ph = arg_i[in_mask][:, 1]
+                peaks_roi[:, 3 * i + 0] = np.sin(th) * np.cos(ph)
+                peaks_roi[:, 3 * i + 1] = np.sin(th) * np.sin(ph)
+                peaks_roi[:, 3 * i + 2] = np.cos(th)
+            else:
+                if sh_i[mask_arr.ndim] == 1:  # (..., 1, 6)
+                    idx = ((slice(None),) * mask_arr.ndim
+                           + (0,) + (slice(None),))
+                    arg_i = arg_i[idx]
+                peaks_roi[:, 3 * i:3 * i + 3] = dti.principal_eigenvectors(
+                    dti.DT_vec_to_2Darray(arg_i[in_mask], order="column"))
+        return peaks_roi[:, :3 * maxfasc], nii_affine
+
+    @staticmethod
+    def _marshal_flag_mask(flag_mask, name, in_mask, img_shape, ROI_size):
+        """Scalar / path / volume -> (ROI_size,) bool (reference
+        mf.py:852-894)."""
+        nii_affine = None
+        if flag_mask is None:
+            return np.zeros(ROI_size, dtype=bool), None
+        if np.isscalar(flag_mask) and not isinstance(flag_mask, str):
+            return np.full(ROI_size, flag_mask > 0, dtype=bool), None
+        if isinstance(flag_mask, (str, os.PathLike)):
+            img = nifti.load(flag_mask)
+            flag_mask = img.get_fdata()
+            nii_affine = img.affine
+        flag_mask = np.asarray(flag_mask)
+        if flag_mask.shape != img_shape:
+            raise ValueError("Arg. %s incomptabible. Based on data,"
+                             " it should have shape (%s), detected (%s)"
+                             " instead." %
+                             (name,
+                              " ".join("%d" % x for x in img_shape),
+                              " ".join("%d" % x for x in flag_mask.shape)))
+        return (flag_mask[in_mask] > 0), nii_affine
+
+
+class MFModelFit(object):
+    """Fit object: one property map per estimated parameter (reference
+    mf.py:1054-1175)."""
+
+    def __init__(self, fitinfo, model_params, verbose=0):
+        self.affine = fitinfo["affine"]
+        numfasc = fitinfo["maxfasc"]
+        csf_on = fitinfo["csf_on"]
+        ear_on = fitinfo["ear_on"]
+        mask = fitinfo["mask"]
+        in_mask = mask > 0
+        ROI_size = model_params.shape[0]
+        assert ROI_size == np.sum(in_mask), ('Inconsistent mask and model '
+                                             'parameter array')
+
+        self.M0 = np.zeros(mask.shape)
+        self.M0[in_mask] = model_params[:, 0]
+        parlist = ['M0']
+
+        for k in range(numfasc):
+            nu_k = model_params[:, k + 1]
+            prop_map = np.zeros(mask.shape)
+            prop_map[in_mask] = nu_k
+            setattr(self, 'frac_f%d' % k, prop_map)
+            parlist.append('frac_f%d' % k)
+
+            p_k = fitinfo['peaks_roi'][:, 3 * k:3 * (k + 1)]
+            prop_map = np.zeros(mask.shape + (3,))
+            prop_map[in_mask] = p_k
+            setattr(self, 'peak_f%d' % k, prop_map)
+            parlist.append('peak_f%d' % k)
+
+        # fascicle-specific property maps + nu-weighted voxel totals
+        for propname in fitinfo['fasc_propnames']:
+            prop_tot_in_mask = np.zeros(ROI_size)
+            for k in range(numfasc):
+                nu_k = model_params[:, k + 1]
+                ID_k = model_params[:, 1 + numfasc + k].astype(int)
+                prop_k = fitinfo['_dict_' + propname][ID_k] * (nu_k > 0)
+                prop_tot_in_mask += nu_k * prop_k
+                prop_map = np.zeros(mask.shape)
+                prop_map[in_mask] = prop_k
+                setattr(self, propname + '_f%d' % k, prop_map)
+                parlist.append(propname + '_f%d' % k)
+            prop_map = np.zeros(mask.shape)
+            prop_map[in_mask] = prop_tot_in_mask
+            setattr(self, propname + '_tot', prop_map)
+            parlist.append(propname + '_tot')
+
+        if csf_on:
+            self.frac_csf = np.zeros(mask.shape)
+            self.frac_csf[in_mask] = model_params[:, 2 * numfasc + 1]
+            parlist.append('frac_csf')
+        if ear_on:
+            self.frac_ear = np.zeros(mask.shape)
+            nu_ear = model_params[:, 2 * numfasc + csf_on + 1]
+            self.frac_ear[in_mask] = nu_ear
+            parlist.append('frac_ear')
+            ID_ear = model_params[:, 2 * numfasc + csf_on + 2].astype(int)
+            self.D_ear = np.zeros(mask.shape)
+            self.D_ear[in_mask] = fitinfo['DIFF_ear'][ID_ear] * (nu_ear > 0)
+            parlist.append('D_ear')
+
+        self.MSE = np.zeros(mask.shape)
+        self.MSE[in_mask] = model_params[:, -2]
+        parlist.append('MSE')
+        self.R2 = np.zeros(mask.shape)
+        self.R2[in_mask] = model_params[:, -1]
+        parlist.append('R2')
+
+        self.param_names = parlist
+        if verbose >= 2:
+            print("Microstructure Fingerprinting fit object constructed.")
+            print("Parameter maps (access as attributes, export with"
+                  " write_nifti):")
+            for p in parlist:
+                print('\t%s' % (p,))
+
+    def write_nifti(self, output_basename, affine=None):
+        """Export one NIfTI per parameter map as {base}_{param}{.nii|.nii.gz}
+        (reference mf.py:1177-1229). Returns the list of files written."""
+        if affine is None:
+            affine = self.affine
+        if affine is None:
+            raise ValueError(
+                "Argument affine must be explicitely passed  because "
+                "no affine transform matrix was found during model "
+                "fitting. Expecting NumPy array with shape (4, 4).")
+        niigz = '.nii.gz'
+        if (len(output_basename) > len(niigz)
+                and output_basename[-len(niigz):] == niigz):
+            (path, fname) = os.path.split(output_basename[:-len(niigz)])
+            ext = niigz
+        else:
+            (path, tail) = os.path.split(output_basename)
+            (fname, ext) = os.path.splitext(tail)
+            if ext not in ['', '.nii']:
+                raise ValueError("Unknown NIfTI extension %s in output %s" %
+                                 (ext, output_basename))
+            ext = '.nii'
+        basename = os.path.join(path, fname)
+        fnames = []
+        for p in self.param_names:
+            nii = nifti.Nifti1Image(getattr(self, p), affine)
+            nii_fname = '%s_%s%s' % (basename, p, ext)
+            nifti.save(nii, nii_fname)
+            fnames.append(nii_fname)
+        return fnames

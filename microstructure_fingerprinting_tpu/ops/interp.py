@@ -94,11 +94,21 @@ class MultiShellInterp:
         raise KeyError(key)
 
     def device_tables(self, dtype=None):
-        """(xs, ys, cnt) as jax arrays, optionally cast."""
-        xs = jnp.asarray(self.xs, dtype=dtype)
-        ys = jnp.asarray(self.ys, dtype=dtype)
-        cnt = jnp.asarray(self.cnt, dtype=jnp.int32)
-        return xs, ys, cnt
+        """(xs, ys, cnt) as jax arrays, optionally cast.
+
+        Cached per dtype: the tables are large (S x Kmax x num_atom) and
+        must not be re-uploaded to device memory on every call.
+        """
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_dev_cache", cache)
+        key = jnp.dtype(dtype).name if dtype is not None else "default"
+        if key not in cache:
+            cache[key] = (jnp.asarray(self.xs, dtype=dtype),
+                          jnp.asarray(self.ys, dtype=dtype),
+                          jnp.asarray(self.cnt, dtype=jnp.int32))
+        return cache[key]
 
 
 def _validate_dense_inputs(sig_ms, sch_mat_ms, ordir):
@@ -268,7 +278,11 @@ def eval_rotation(xs, ys, cnt, gdir, shell_lo, shell_hi, wG, newdir):
     Replaces the per-voxel ``interp_PGSE_from_multishell`` calls of the
     reference hot loop (mf.py:391-397).
     """
-    x = jnp.abs(gdir @ newdir)                     # (Nseq,)
+    # HIGHEST precision: the default TPU matmul runs bf16 passes whose
+    # ~4e-3 dot-product error would swamp the interpolation accuracy
+    x = jnp.abs(jnp.einsum('sd,d->s', gdir, newdir,
+                           precision=jax.lax.Precision.HIGHEST))
+
     lo = _shell_lerp(xs, ys, cnt, shell_lo, x)     # (Nseq, N)
     hi = _shell_lerp(xs, ys, cnt, shell_hi, x)
     return lo + wG[:, None] * (hi - lo)

@@ -212,9 +212,13 @@ def lsqnonneg_4var(y_sq, G, Y):
     ``G``: 4x4 nested tuple of Gram scalars (broadcastable arrays),
     ``Y``: tuple of 4 correlation scalars. For each non-empty support S the
     unconstrained LS solution is computed in closed form (Cramer); it is a
-    feasible NNLS candidate iff all its weights are >= 0, with residual
-    y'y - w'Y_S. The NNLS optimum is the feasible candidate with minimum
-    residual (the empty support contributes res = y'y).
+    feasible NNLS candidate iff all its weights are >= 0 and finite. The
+    residual is evaluated with the full quadratic form
+    y'y - 2 w'Y_S + w'G_S w (NOT the y'y - w'Y_S shortcut, which is only
+    valid for exact LS solutions and silently rewards ill-conditioned Cramer
+    solves on nearly-collinear atom supports). The NNLS optimum is the
+    feasible candidate with minimum residual (the empty support contributes
+    res = y'y).
 
     This replaces the reference's scipy.optimize.nnls-per-combination path
     for >= 4 sub-dictionaries (mf_utils.py:612-657) with a branchless,
@@ -230,9 +234,11 @@ def lsqnonneg_4var(y_sq, G, Y):
         w_S, _det = _solve_posdef_cramer(G_S, Y_S)
         feas = jnp.full_like(best_res, True, dtype=bool)
         res = y_sq + zeros
-        for wi, yi in zip(w_S, Y_S):
-            feas = feas & (wi >= 0) & jnp.isfinite(wi)
-            res = res - wi * yi
+        for a, (wa, ya) in enumerate(zip(w_S, Y_S)):
+            feas = feas & (wa >= 0) & jnp.isfinite(wa)
+            res = res - 2.0 * wa * ya
+            for b_, wb in enumerate(w_S):
+                res = res + wa * wb * G_S[a][b_]
         res = _sanitize(jnp.where(feas, res, jnp.inf))
         better = res < best_res
         new_w = [zeros] * 4
@@ -257,26 +263,54 @@ def _pad_cols(A, mult):
     return jnp.pad(A, pad), N
 
 
+def _normalize_block(A):
+    """Scale each atom column to unit l2 norm.
+
+    Conditioning is critical on an f32 accelerator: with raw DW-MRI scales
+    (y ~ 1e2-1e3, ||y||^2 ~ 1e7) the residual algebra y'y - 2w'Y + w'Gw
+    cancels catastrophically in float32 and the candidate argmin degrades to
+    noise. On unit-normalized atoms and signal all Gram entries are O(1)
+    correlations with an EXACTLY unit diagonal, the scan operates at
+    eps-level absolute error, and the selected candidates are invariant
+    (positive rescaling preserves every sign test and ordering in exact
+    arithmetic). Weights and objective are rescaled on the way out.
+    Returns (A_hat, norms) with norms (B, N).
+    """
+    an = jnp.sqrt(jnp.sum(A * A, axis=1))
+    an_safe = jnp.where(an > 0, an, 1.0)
+    return A / an_safe[:, None, :], an_safe
+
+
+def _normalize_y(y):
+    yn = jnp.sqrt(jnp.sum(y * y, axis=1))
+    yn_safe = jnp.where(yn > 0, yn, 1.0)
+    return y / yn_safe[:, None], yn, yn_safe
+
+
 @partial(jax.jit)
 def exhaustive_1_batched(A1, y):
     """K=1 exhaustive NNLS over a voxel batch.
 
     A1: (B, S, N1), y: (B, S). Returns (w (B,1), ind (B,1), min_obj (B,)).
     """
-    y_sq = jnp.sum(y * y, axis=1)
-    a11 = jnp.sum(A1 * A1, axis=1)
-    Y1 = jnp.einsum("bs,bsn->bn", y, A1,
-                    preferred_element_type=A1.dtype)
-    w, res = lsqnonneg_1var(y_sq[:, None], a11, Y1)
+    A1h, an1 = _normalize_block(A1)
+    yh, yn, yn_safe = _normalize_y(y)
+    y_sq = yn * yn
+    ones = jnp.ones_like(an1)
+    Y1 = jnp.einsum("bs,bsn->bn", yh, A1h,
+                    preferred_element_type=A1.dtype,
+                    precision=lax.Precision.HIGHEST)
+    w, res = lsqnonneg_1var(jnp.ones_like(y_sq)[:, None], ones, Y1)
     ind = jnp.argmin(res, axis=1)
-    w_best = jnp.take_along_axis(w, ind[:, None], axis=1)
-    min_obj = jnp.minimum(jnp.take_along_axis(res, ind[:, None], axis=1)[:, 0],
-                          y_sq)
+    res_best = jnp.take_along_axis(res, ind[:, None], axis=1)[:, 0]
+    w_best = jnp.take_along_axis(w, ind[:, None], axis=1)[:, 0]
     # reference keeps w=0/ind=0 when nothing improves ||y||^2
-    improves = jnp.take_along_axis(res, ind[:, None], axis=1)[:, 0] < y_sq
+    improves = res_best < 1.0
     ind = jnp.where(improves, ind, 0)
-    w_best = jnp.where(improves[:, None], w_best, 0.0)
-    return w_best, ind[:, None].astype(jnp.int32), min_obj
+    an_sel = jnp.take_along_axis(an1, ind[:, None], axis=1)[:, 0]
+    w_best = jnp.where(improves, w_best * yn_safe / an_sel, 0.0)
+    min_obj = jnp.minimum(res_best, 1.0) * y_sq
+    return w_best[:, None], ind[:, None].astype(jnp.int32), min_obj
 
 
 def _scan_tiles_2(A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, tile):
@@ -296,7 +330,8 @@ def _scan_tiles_2(A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, tile):
         a11t = lax.dynamic_slice(a11p, (0, st), (B, tile))
         Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
         G12 = jnp.einsum("bst,bsn->btn", A1t, A2,
-                         preferred_element_type=A2.dtype)  # (B, tile, N2)
+                         preferred_element_type=A2.dtype,
+                    precision=lax.Precision.HIGHEST)  # (B, tile, N2)
         w1, w2, res = lsqnonneg_2var(y_sq[:, None, None],
                                      a11t[:, :, None], G12,
                                      a22[:, None, :],
@@ -331,19 +366,27 @@ def exhaustive_2_batched(A1, A2, y, tile=_TILE_N1):
     Returns (w (B,2), ind (B,2) int32, min_obj (B,)).
     """
     N2 = A2.shape[2]
-    y_sq = jnp.sum(y * y, axis=1)
-    a22 = jnp.sum(A2 * A2, axis=1)
-    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=A2.dtype)
+    A2h, an2 = _normalize_block(A2)
+    yh, yn, yn_safe = _normalize_y(y)
+    y_sq = yn * yn
+    a22 = jnp.ones_like(an2)
+    Y2 = jnp.einsum("bs,bsn->bn", yh, A2h, preferred_element_type=A2.dtype,
+                    precision=lax.Precision.HIGHEST)
     A1p, N1 = _pad_cols(A1, tile)
-    a11p = jnp.sum(A1p * A1p, axis=1)
-    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=A1.dtype)
+    A1h, an1 = _normalize_block(A1p)
+    a11p = jnp.ones_like(an1)
+    Y1p = jnp.einsum("bs,bsn->bn", yh, A1h, preferred_element_type=A1.dtype,
+                    precision=lax.Precision.HIGHEST)
     best_res, best_flat, w1, w2 = _scan_tiles_2(
-        A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, min(tile, A1p.shape[2]))
+        A1h, A2h, a11p, a22, Y1p, Y2, jnp.ones_like(y_sq), N1,
+        min(tile, A1p.shape[2]))
     i1 = best_flat // N2
     i2 = best_flat % N2
+    w1 = w1 * yn_safe / jnp.take_along_axis(an1, i1[:, None], axis=1)[:, 0]
+    w2 = w2 * yn_safe / jnp.take_along_axis(an2, i2[:, None], axis=1)[:, 0]
     w = jnp.stack([w1, w2], axis=1)
     ind = jnp.stack([i1, i2], axis=1).astype(jnp.int32)
-    return w, ind, best_res
+    return w, ind, best_res * y_sq
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -358,19 +401,29 @@ def exhaustive_3_batched(A1, A2, A3, y, tile=_TILE_N1):
     N2 = A2.shape[2]
     N3 = A3.shape[2]
     dt = A1.dtype
-    y_sq = jnp.sum(y * y, axis=1)
-    a22 = jnp.sum(A2 * A2, axis=1)
-    a33 = jnp.sum(A3 * A3, axis=1)
-    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt)
-    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt)
+    A2, an2 = _normalize_block(A2)
+    A3, an3 = _normalize_block(A3)
+    y, yn, yn_safe = _normalize_y(y)
+    y_out_sq = yn * yn
+    y_sq = jnp.ones_like(yn)
+    a22 = jnp.ones_like(an2)
+    a33 = jnp.ones_like(an3)
+    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
     A1p, N1 = _pad_cols(A1, tile)
+    A1p, an1 = _normalize_block(A1p)
     tile = min(tile, A1p.shape[2])
     N1p = A1p.shape[2]
     n_tiles = N1p // tile
-    a11p = jnp.sum(A1p * A1p, axis=1)
-    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt)
-    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt)
-    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt)
+    a11p = jnp.ones_like(an1)
+    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
 
     def body(carry, idx):
         best_res, best_flat, bw1, bw2, bw3 = carry
@@ -393,7 +446,8 @@ def exhaustive_3_batched(A1, A2, A3, y, tile=_TILE_N1):
         Y3i = jnp.take_along_axis(
             Y3, jnp.broadcast_to(i3_.reshape(1, 1), (B, 1)), axis=1)[:, 0]
         G12 = jnp.einsum("bst,bsn->btn", A1t, A2,
-                         preferred_element_type=dt)
+                         preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
         w1, w2, w3, res = lsqnonneg_3var(
             y_sq[:, None, None],
             a11t[:, :, None], a22[:, None, :], A33[:, None, None],
@@ -424,9 +478,12 @@ def exhaustive_3_batched(A1, A2, A3, y, tile=_TILE_N1):
     rem = best_flat % (N1p * N2)
     i1 = rem // N2
     i2 = rem % N2
+    w1 = w1 * yn_safe / jnp.take_along_axis(an1, i1[:, None], axis=1)[:, 0]
+    w2 = w2 * yn_safe / jnp.take_along_axis(an2, i2[:, None], axis=1)[:, 0]
+    w3 = w3 * yn_safe / jnp.take_along_axis(an3, i3[:, None], axis=1)[:, 0]
     w = jnp.stack([w1, w2, w3], axis=1)
     ind = jnp.stack([i1, i2, i3], axis=1).astype(jnp.int32)
-    return w, ind, best_res
+    return w, ind, best_res * y_out_sq
 
 
 @partial(jax.jit, static_argnames=("tile",))
@@ -444,24 +501,39 @@ def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
     B, S, _ = A1.shape
     N2, N3, N4 = A2.shape[2], A3.shape[2], A4.shape[2]
     dt = A1.dtype
-    y_sq = jnp.sum(y * y, axis=1)
-    a22 = jnp.sum(A2 * A2, axis=1)
-    a33 = jnp.sum(A3 * A3, axis=1)
-    a44 = jnp.sum(A4 * A4, axis=1)
-    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt)
-    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt)
-    Y4 = jnp.einsum("bs,bsn->bn", y, A4, preferred_element_type=dt)
-    G34 = jnp.einsum("bsn,bsm->bnm", A3, A4, preferred_element_type=dt)
+    A2, an2 = _normalize_block(A2)
+    A3, an3 = _normalize_block(A3)
+    A4, an4 = _normalize_block(A4)
+    y, yn, yn_safe = _normalize_y(y)
+    y_out_sq = yn * yn
+    y_sq = jnp.ones_like(yn)
+    a22 = jnp.ones_like(an2)
+    a33 = jnp.ones_like(an3)
+    a44 = jnp.ones_like(an4)
+    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    Y4 = jnp.einsum("bs,bsn->bn", y, A4, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G34 = jnp.einsum("bsn,bsm->bnm", A3, A4, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
     A1p, N1 = _pad_cols(A1, tile)
+    A1p, an1 = _normalize_block(A1p)
     tile = min(tile, A1p.shape[2])
     N1p = A1p.shape[2]
     n_tiles = N1p // tile
-    a11p = jnp.sum(A1p * A1p, axis=1)
-    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt)
-    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt)
-    G14p = jnp.einsum("bsn,bsm->bnm", A1p, A4, preferred_element_type=dt)
-    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt)
-    G24 = jnp.einsum("bsn,bsm->bnm", A2, A4, preferred_element_type=dt)
+    a11p = jnp.ones_like(an1)
+    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G14p = jnp.einsum("bsn,bsm->bnm", A1p, A4, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    G24 = jnp.einsum("bsn,bsm->bnm", A2, A4, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
 
     def col(Gm, i, width):
         idx = jnp.broadcast_to(i.astype(jnp.int32).reshape(1, 1, 1),
@@ -490,7 +562,8 @@ def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
         A34 = scal(col(G34, i4, N3), i3)
         Y3i = scal(Y3, i3)
         Y4i = scal(Y4, i4)
-        G12 = jnp.einsum("bst,bsn->btn", A1t, A2, preferred_element_type=dt)
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
 
         e = lambda x: x[:, None, None]  # (B,) -> broadcast over (tile, N2)
         r = lambda x: x[:, :, None]     # (B, tile)
@@ -525,9 +598,13 @@ def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
     rem = rem % (N1p * N2)
     i1 = rem // N2
     i2 = rem % N2
+    for j, (an, ii) in enumerate(zip((an1, an2, an3, an4),
+                                     (i1, i2, i3, i4))):
+        bw[j] = (bw[j] * yn_safe
+                 / jnp.take_along_axis(an, ii[:, None], axis=1)[:, 0])
     w = jnp.stack(bw, axis=1)
     ind = jnp.stack([i1, i2, i3, i4], axis=1).astype(jnp.int32)
-    return w, ind, best_res
+    return w, ind, best_res * y_out_sq
 
 
 def exhaustive_nnls_blocks(blocks, y):

@@ -244,6 +244,9 @@ def save(img, path):
     payload = bytes(hdr) + b"\x00\x00\x00\x00"  # no header extensions
     body = np.asfortranarray(data).tobytes(order="F")
     blob = payload + body
+    out_dir = os.path.dirname(str(path))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     if str(path).endswith(".gz"):
         with gzip.open(path, "wb") as f:
             f.write(blob)

@@ -19,6 +19,9 @@ os.environ["JAX_ENABLE_X64"] = "true"
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# The ambient TPU plugin prepends itself to jax_platforms regardless of the
+# environment variable; force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,300 @@
+"""End-to-end MFModel.fit tests.
+
+Mirrors the reference's fingerprint-recovery strategy (noiseless signals
+synthesized from the dictionary must be recovered exactly;
+test_exhaustive_fingerprinting.py:163-249) driven through the full user API:
+dictionary -> model init -> fit -> MFModelFit maps -> write_nifti, including
+CSF/EAR compartments, mixed per-voxel configurations, and the sharded
+device-parallel path (new coverage: the reference never tests parallel=True).
+"""
+
+import numpy as np
+import pytest
+
+from conftest import fixture_path, has_fixture
+
+import jax
+
+from microstructure_fingerprinting_tpu.utils import io as mfio
+from microstructure_fingerprinting_tpu.utils import nifti
+from microstructure_fingerprinting_tpu.ops import interp as mfi
+from microstructure_fingerprinting_tpu.models.mf import (
+    MFModel, cleanup_2fascicles)
+
+UKBB_OK = has_fixture("ukbb_90_dirs_dictionary_hcp_deltas.mat")
+HCP_OK = has_fixture("MC_dictionary_hcp.mat") and \
+    has_fixture("hcp_mgh_1003.scheme1")
+
+
+def _make_dictionary(n_atoms=120):
+    """MFModel-ready dictionary dict built from the UKBB fixture."""
+    raw = mfio.loadmat(fixture_path("ukbb_90_dirs_dictionary_hcp_deltas.mat"))
+    sel = np.linspace(0, raw["dictionary"].shape[1] - 1, n_atoms).astype(int)
+    dic = {
+        "dictionary": np.asarray(raw["dictionary"])[:, sel],
+        "sch_mat": np.asarray(raw["sch_mat"], dtype=np.float64),
+        "orientation": np.asarray(raw["orientation"], dtype=np.float64),
+        "num_atom": n_atoms,
+        "num_ear": int(raw["Near"]),
+        "fasc_propnames": ["rad", "fin"],
+        "rad": np.asarray(raw["rad"])[sel],
+        "fin": np.asarray(raw["fin"])[sel],
+        "T2_csf": float(raw["T2_csf"]),
+        "DIFF_csf": float(raw["CSF_DIFF"]),
+        "T2_ear": float(raw["T2_ear"]),
+        "DIFF_ear": np.asarray(raw["Dear"], dtype=np.float64),
+    }
+    return dic
+
+
+def _synth_volume(dic, rng):
+    """Synthesize a small noiseless volume with mixed configurations.
+
+    Returns (data, mask, numfasc, peaks, csf_mask, ear_mask, gt dict).
+    """
+    sch = dic["sch_mat"]
+    num_seq = sch.shape[0]
+    shape = (3, 3, 1)
+    nvox = int(np.prod(shape))
+    ms = mfi.init_PGSE_multishell_interp(dic["dictionary"], sch,
+                                         dic["orientation"])
+    TE = sch[:, 6]
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    b = b_values(sch)
+    sig_csf = np.exp(-TE / dic["T2_csf"]) * np.exp(-b * dic["DIFF_csf"])
+    sig_ear = (np.exp(-TE / dic["T2_ear"])[:, None]
+               * np.exp(-b[:, None] * dic["DIFF_ear"][None, :]))
+
+    data = np.zeros(shape + (num_seq,))
+    mask = np.ones(shape)
+    numfasc = np.zeros(shape)
+    peaks = np.zeros(shape + (6,))
+    csf_mask = np.zeros(shape)
+    ear_mask = np.zeros(shape)
+    gt = {"ID": np.zeros((nvox, 2), dtype=int),
+          "nu": np.zeros((nvox, 4)),
+          "ear_id": np.zeros(nvox, dtype=int),
+          "cfg": []}
+
+    # voxel configurations: (K, csf, ear)
+    cfgs = [(1, 0, 0), (2, 0, 0), (2, 1, 0), (1, 1, 0), (2, 0, 1),
+            (1, 1, 1), (2, 1, 1), (0, 1, 0), (0, 0, 0)]
+    M0 = 400.0
+    for v, (K, c, e) in enumerate(cfgs):
+        ijk = np.unravel_index(v, shape)
+        numfasc[ijk] = K
+        csf_mask[ijk] = c
+        ear_mask[ijk] = e
+        gt["cfg"].append((K, c, e))
+        y = np.zeros(num_seq)
+        nus = rng.rand(K + c + e) + 0.25
+        nus /= nus.sum() if nus.size else 1.0
+        comp = 0
+        for k in range(K):
+            d = rng.randn(3)
+            d /= np.linalg.norm(d)
+            peaks[ijk][3 * k:3 * k + 3] = d
+            a = rng.randint(dic["num_atom"])
+            gt["ID"][v, k] = a
+            D = mfi.interp_PGSE_from_multishell(sch, d, msinterp=ms)
+            y += M0 * nus[comp] * D[:, a]
+            gt["nu"][v, comp] = nus[comp]
+            comp += 1
+        if c:
+            y += M0 * nus[comp] * sig_csf
+            gt["nu"][v, comp] = nus[comp]
+            comp += 1
+        if e:
+            # skip Dear[0], which equals DIFF_csf in this fixture (the EAR
+            # and CSF columns would be identical -> ambiguous split)
+            eid = 3 + rng.randint(dic["num_ear"] - 3)
+            gt["ear_id"][v] = eid
+            y += M0 * nus[comp] * sig_ear[:, eid]
+            gt["nu"][v, comp] = nus[comp]
+            comp += 1
+        data[ijk] = y
+    return data, mask, numfasc, peaks, csf_mask, ear_mask, gt
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_fit_end_to_end_recovery(rng, tmp_path):
+    dic = _make_dictionary()
+    data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
+        dic, rng)
+    model = MFModel(dic)
+    f = model.fit(data, mask, numfasc, peaks=peaks,
+                  pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+                  ear_mask=ear_mask, verbose=0, batch_size=8)
+
+    shape = mask.shape
+    for v, (K, c, e) in enumerate(gt["cfg"]):
+        ijk = np.unravel_index(v, shape)
+        comp = 0
+        for k in range(K):
+            nu_k = getattr(f, "frac_f%d" % k)[ijk]
+            assert np.isclose(nu_k, gt["nu"][v, comp], atol=1e-6), \
+                "vox %d frac_f%d" % (v, k)
+            # property maps identify the exact fingerprint
+            assert np.isclose(getattr(f, "rad_f%d" % k)[ijk],
+                              dic["rad"][gt["ID"][v, k]]), \
+                "vox %d rad_f%d" % (v, k)
+            comp += 1
+        if c:
+            assert np.isclose(f.frac_csf[ijk], gt["nu"][v, comp], atol=1e-6)
+            comp += 1
+        if e:
+            assert np.isclose(f.frac_ear[ijk], gt["nu"][v, comp], atol=1e-6)
+            assert np.isclose(f.D_ear[ijk],
+                              dic["DIFF_ear"][gt["ear_id"][v]])
+            comp += 1
+        if K + c + e > 0:
+            # algebraic residual leaves O(eps * ||y||^2 / S) noise
+            assert f.MSE[ijk] < 1e-7
+            if K + c + e > 1 or K > 0:
+                assert f.R2[ijk] > 1 - 1e-6
+        else:
+            assert f.M0[ijk] == 0 and f.MSE[ijk] == 0
+
+    # rad_tot is the nu-weighted sum of the per-fascicle radii
+    v2 = 1  # config (2, 0, 0)
+    ijk = np.unravel_index(v2, shape)
+    want = (gt["nu"][v2, 0] * dic["rad"][gt["ID"][v2, 0]]
+            + gt["nu"][v2, 1] * dic["rad"][gt["ID"][v2, 1]])
+    assert np.isclose(f.rad_tot[ijk], want)
+
+    # NIfTI export round-trip
+    files = f.write_nifti(str(tmp_path / "mf_out.nii.gz"),
+                          affine=np.eye(4))
+    assert len(files) == len(f.param_names)
+    img = nifti.load(str(tmp_path / "mf_out_MSE.nii.gz"))
+    assert np.allclose(img.get_fdata(), f.MSE)
+    img = nifti.load(str(tmp_path / "mf_out_peak_f0.nii.gz"))
+    assert img.shape == shape + (3,)
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_fit_parallel_matches_serial(rng):
+    """Sharded (8 virtual devices) fit == single-device fit."""
+    assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
+    dic = _make_dictionary(n_atoms=64)
+    data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
+        dic, rng)
+    model = MFModel(dic)
+    kw = dict(peaks=peaks, pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+              ear_mask=ear_mask, verbose=0, batch_size=8)
+    f1 = model.fit(data, mask, numfasc, **kw)
+    f2 = model.fit(data, mask, numfasc, parallel=True, **kw)
+    for p in f1.param_names:
+        # SPMD partitioning reorders reductions; near-zero residual maps
+        # (MSE) may differ in the last bits
+        np.testing.assert_allclose(getattr(f2, p), getattr(f1, p),
+                                   rtol=1e-9, atol=1e-8, err_msg=p)
+
+
+@pytest.mark.skipif(not HCP_OK, reason="HCP fixture unavailable")
+def test_hcp_dict_recovery(rng):
+    """Noiseless 2-fascicle + CSF recovery on the real HCP MC dictionary
+    (reference test_exhaustive_fingerprinting.py:163-249)."""
+    from microstructure_fingerprinting_tpu.ops import nnls as mfn
+    from microstructure_fingerprinting_tpu.utils import scheme as schm
+
+    ld = mfio.loadmat(fixture_path("MC_dictionary_hcp.mat"))
+    dic_mgh = ld["dic_fascicle_refdir"]
+    refdir = np.array([0.0, 0.0, 1.0])
+    Natoms = dic_mgh.shape[1]
+    WM_DIFF = ld["WM_DIFF"]
+    S0_fasc = ld["S0_fascicle"]
+    sig_CSF = ld["sig_csf"]
+
+    sch_mat = schm.import_PGSE_scheme(fixture_path("hcp_mgh_1003.scheme1"))
+    num_B0 = 40
+    sch_mat_b0 = np.vstack((np.zeros((num_B0, sch_mat.shape[1])), sch_mat))
+    sch_mat_b0[:num_B0, 4:] = sch_mat[0, 4:]
+    num_mri = sch_mat_b0.shape[0]
+
+    Nfasc = 2
+    i_gt = 86
+    fascdirs = rng.randn(3, Nfasc)
+    fascdirs /= np.sqrt(np.sum(fascdirs ** 2, axis=0, keepdims=True))
+    nu_gt = rng.rand(Nfasc + 1)
+    nu_gt /= nu_gt.sum()
+    M0_gt = 500.0
+
+    y_gt = np.zeros(num_mri)
+    dictionary = np.zeros((num_mri, Nfasc * Natoms + 1))
+    for ifasc in range(Nfasc):
+        rot = mfi.rotate_atom(dic_mgh, sch_mat_b0, refdir,
+                              fascdirs[:, ifasc], WM_DIFF, S0_fasc,
+                              warnings=False)
+        dictionary[:, ifasc * Natoms:(ifasc + 1) * Natoms] = rot
+        y_gt += M0_gt * nu_gt[ifasc] * rot[:, i_gt]
+    dictionary[:, -1] = sig_CSF
+    y_gt += M0_gt * nu_gt[-1] * sig_CSF
+
+    (w_nnz, ind_subdic, ind_totdic, min_obj,
+     y_rec) = mfn.solve_exhaustive_posweights(
+        dictionary, y_gt, np.array([Natoms, Natoms, 1]))
+    nu = w_nnz / np.sum(w_nnz)
+    assert all(ind_subdic[i] == i_gt for i in range(Nfasc)), \
+        "fingerprint IDs not recovered"
+    assert np.allclose(nu, nu_gt), "fractions not recovered"
+
+
+def test_cleanup_2fascicles():
+    mask = np.ones((5, 1))
+    # voxels: [strong pair] [close pair -> merge] [small f0 -> transfer]
+    #         [tiny both -> none] [small f1 absolute -> drop]
+    frac1 = np.array([[0.5], [0.4], [0.05], [0.04], [0.6]])
+    frac2 = np.array([[0.4], [0.4], [0.5], [0.05], [0.05]])
+    mu1 = np.zeros((5, 1, 3))
+    mu2 = np.zeros((5, 1, 3))
+    mu1[..., 0] = 1.0                      # x-axis
+    mu2[..., 2] = 1.0                      # z-axis
+    th = np.deg2rad(10)
+    mu2[1, 0] = [np.cos(th), np.sin(th), 0]  # 10 deg from mu1 -> merge
+    peaks, nfasc = cleanup_2fascicles(frac1, frac2, 'peaks', mu1, mu2, mask)
+    assert peaks.shape == (5, 1, 6)
+    assert nfasc[0, 0] == 2
+    assert nfasc[1, 0] == 1                 # merged
+    # merged direction bisects the two unit vectors
+    merged = peaks[1, 0, :3]
+    assert np.isclose(np.linalg.norm(merged), 1)
+    assert abs(merged @ np.array([np.cos(th / 2), np.sin(th / 2), 0])) > \
+        1 - 1e-6
+    assert nfasc[2, 0] == 1                 # f0 small: f1 transferred
+    assert np.allclose(peaks[2, 0, :3], [0, 0, 1])
+    assert nfasc[3, 0] == 0                 # both below w_small
+    assert np.allclose(peaks[3, 0], 0)
+    assert nfasc[4, 0] == 1                 # f1 dropped
+    assert np.allclose(peaks[4, 0, 3:], 0)
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    data = rng.rand(4, 5, 6).astype(np.float64)
+    aff = np.array([[2.0, 0, 0, -10], [0, 2.0, 0, -20],
+                    [0, 0, 2.0, -30], [0, 0, 0, 1]])
+    p = str(tmp_path / "x.nii.gz")
+    nifti.save(nifti.Nifti1Image(data, aff), p)
+    img = nifti.load(p)
+    assert np.allclose(img.get_fdata(), data)
+    assert np.allclose(img.affine, aff)
+    # uncompressed too
+    p2 = str(tmp_path / "y.nii")
+    nifti.save(nifti.Nifti1Image(data.astype(np.float32), aff), p2)
+    img2 = nifti.load(p2)
+    assert np.allclose(img2.get_fdata(), data, atol=1e-6)
+
+
+@pytest.mark.skipif(
+    not has_fixture("C001_dwi_small.nii.gz"),
+    reason="C001 fixtures unavailable")
+def test_nifti_reads_real_fixtures():
+    """Our pure-NumPy NIfTI reader handles nibabel-written fixtures."""
+    img = nifti.load(fixture_path("C001_dwi_small.nii.gz"))
+    assert img.shape[-1] == 149  # 149 DWI volumes (SURVEY.md fixture notes)
+    assert img.affine.shape == (4, 4)
+    data = img.get_fdata()
+    assert np.isfinite(data).all()
+    mask = nifti.load(fixture_path("C001_mask_small.nii.gz")).get_fdata()
+    assert mask.shape == img.shape[:-1]
+    assert mask.max() > 0
