@@ -1,0 +1,131 @@
+"""Benchmark: exhaustive-NNLS fingerprinting fit throughput (voxels/s/chip).
+
+Workload: the reference's flagship configuration — 2 rotated fascicle
+sub-dictionaries + CSF on a 552-sequence dense multi-shell protocol with 782
+atoms per fascicle (dicsizes [782, 782, 1]; reference mf_utils.py:462-465) —
+run through the fused rotation + Gram + candidate-scan device step.
+
+Baseline: an optimized CPU implementation of the reference algorithm
+(BLAS Gram + fully vectorized closed-form candidate evaluation in NumPy
+float64 — strictly faster than the reference's scalar Numba loops on this
+machine, so `vs_baseline` is conservative). Measured on a few voxels and
+extrapolated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+NUM_ATOM = 782
+N_VOX_BATCH = 64
+N_BATCHES = 8
+
+
+def _tpu_throughput(wl):
+    import jax
+    import jax.numpy as jnp
+    from microstructure_fingerprinting_tpu.models.fit import fit_step
+
+    ms, plan = wl["msinterp"], wl["plan"]
+    xs, ys, cnt = ms.device_tables()
+    dt = xs.dtype
+    gdir = jnp.asarray(plan.gdir, dtype=dt)
+    lo = jnp.asarray(plan.shell_lo)
+    hi = jnp.asarray(plan.shell_hi)
+    wG = jnp.asarray(plan.wG, dtype=dt)
+    sig_csf = jnp.asarray(wl["sig_csf"], dtype=dt)
+    sig_ear = jnp.zeros((wl["y"].shape[1], 1), dtype=dt)
+    peaks = jnp.asarray(wl["peaks"], dtype=dt)
+    y = jnp.asarray(wl["y"], dtype=dt)
+
+    def step(pk, yy):
+        return fit_step(xs, ys, cnt, gdir, lo, hi, wG, pk, yy,
+                        sig_csf, sig_ear, K=2, csf_on=True, ear_on=False)
+
+    out = step(peaks, y)  # compile + warm
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(N_BATCHES):
+        out = step(peaks, y)
+    jax.block_until_ready(out)
+    dt_s = time.time() - t0
+    vox_per_s = N_BATCHES * N_VOX_BATCH / dt_s
+    return vox_per_s, out
+
+
+def _cpu_reference_throughput(wl, n_probe=3):
+    """Reference-algorithm CPU baseline (vectorized float64)."""
+    from microstructure_fingerprinting_tpu.ops.interp import (
+        interp_PGSE_from_multishell)
+    ms = wl["msinterp"]
+    sch = wl["sch_mat"]
+    sig_csf = wl["sig_csf"]
+    times = []
+    for v in range(n_probe):
+        y = wl["y"][v]
+        t0 = time.time()
+        # per-voxel dictionary rotation (the reference does this per voxel,
+        # mf.py:391-397)
+        D1 = interp_PGSE_from_multishell(sch, wl["peaks"][v, 0], msinterp=ms)
+        D2 = interp_PGSE_from_multishell(sch, wl["peaks"][v, 1], msinterp=ms)
+        D1 = np.asarray(D1, dtype=np.float64)
+        D2 = np.asarray(D2, dtype=np.float64)
+        # Gram via BLAS
+        G12 = D1.T @ D2
+        a11 = np.einsum("si,si->i", D1, D1)
+        a22 = np.einsum("si,si->i", D2, D2)
+        a33 = float(sig_csf @ sig_csf)
+        A13 = D1.T @ sig_csf
+        A23 = D2.T @ sig_csf
+        Y1 = D1.T @ y
+        Y2 = D2.T @ y
+        Y3 = float(sig_csf @ y)
+        y_sq = float(y @ y)
+        # vectorized 3-var Cramer over the full N1 x N2 grid (i3 fixed)
+        A11 = a11[:, None]
+        A22 = a22[None, :]
+        A12 = G12
+        A13_ = A13[:, None]
+        A23_ = A23[None, :]
+        Y1_ = Y1[:, None]
+        Y2_ = Y2[None, :]
+        D1c = (Y1_ * (A22 * a33 - A23_ ** 2) - Y2_ * (A12 * a33 - A23_ * A13_)
+               + Y3 * (A12 * A23_ - A22 * A13_))
+        D2c = (-Y1_ * (A12 * a33 - A13_ * A23_)
+               + Y2_ * (A11 * a33 - A13_ ** 2)
+               - Y3 * (A11 * A23_ - A12 * A13_))
+        D3c = (Y1_ * (A12 * A23_ - A13_ * A22) - Y2_ * (A11 * A23_
+               - A12 * A13_) + Y3 * (A11 * A22 - A12 ** 2))
+        Dd = (A11 * (A22 * a33 - A23_ ** 2) - A12 * (A12 * a33 - A23_ * A13_)
+              + A13_ * (A12 * A23_ - A22 * A13_))
+        with np.errstate(all="ignore"):
+            w1, w2, w3 = D1c / Dd, D2c / Dd, D3c / Dd
+            res = (y_sq + w1 * w1 * A11 + w2 * w2 * A22 + w3 * w3 * a33
+                   + 2 * (w1 * w2 * A12 + w1 * w3 * A13_ + w2 * w3 * A23_
+                          - w1 * Y1_ - w2 * Y2_ - w3 * Y3))
+        ok = (D1c >= 0) & (D2c >= 0) & (D3c >= 0)
+        res = np.where(ok & np.isfinite(res), res, np.inf)
+        int(np.argmin(res))  # selection
+        times.append(time.time() - t0)
+    return 1.0 / float(np.median(times))
+
+
+def main():
+    from microstructure_fingerprinting_tpu import testing as mft
+    wl = mft.make_fit_workload(num_atom=NUM_ATOM, n_vox=N_VOX_BATCH)
+    vox_per_s, _ = _tpu_throughput(wl)
+    base = _cpu_reference_throughput(wl)
+    print(json.dumps({
+        "metric": "fit_throughput_2fasc_csf_552seq_782atoms",
+        "value": round(vox_per_s, 2),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vox_per_s / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
