@@ -17,15 +17,10 @@ Public surface (mirrors the reference package __init__.py:19-21):
 """
 
 from . import ops, utils  # noqa: F401
+from .models.mf import MFModel, MFModelFit, cleanup_2fascicles  # noqa: F401
+from . import mf_utils  # noqa: F401
+from .models import mcf  # noqa: F401
+from . import parallel, viz, testing  # noqa: F401
+from .tripwire import TripWire, TripWireError, is_tripwire  # noqa: F401
 
 __version__ = "0.1.0"
-
-# Heavier layers are imported lazily-but-eagerly here; guarded so partial
-# builds (docs, minimal environments) can still import the core ops.
-try:
-    from .models.mf import MFModel, MFModelFit, cleanup_2fascicles  # noqa: F401
-    from . import mf_utils  # noqa: F401
-    from .models import mcf  # noqa: F401
-    from . import parallel  # noqa: F401
-except ImportError:  # pragma: no cover - only during staged builds
-    pass
