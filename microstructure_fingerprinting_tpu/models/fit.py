@@ -89,8 +89,49 @@ def fit_step(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
     return {"w": w, "ind": ind, "min_obj": min_obj, "mse": mse, "r2": r2}
 
 
+def _build_blocks(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
+                  peaks, y, sig_csf, sig_ear, K, csf_on, ear_on):
+    B, S = y.shape
+    blocks = []
+    if K > 0:
+        D = mfi.eval_rotation_batch(xs, ys, cnt, gdir, shell_lo, shell_hi,
+                                    wG, peaks)
+        blocks.extend(D[:, k] for k in range(K))
+    if csf_on:
+        blocks.append(jnp.broadcast_to(sig_csf[None, :, None], (B, S, 1)))
+    if ear_on:
+        E = sig_ear.shape[1]
+        blocks.append(jnp.broadcast_to(sig_ear[None, :, :], (B, S, E)))
+    if not blocks:
+        raise ValueError("Empty configuration: no compartments to fit.")
+    return blocks
+
+
+@partial(jax.jit, static_argnames=("K", "csf_on", "ear_on", "M"))
+def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
+                        peaks, y, sig_csf, sig_ear, *,
+                        K, csf_on, ear_on, M=8):
+    """Top-M candidate indices per voxel for float64 host re-scoring
+    (see models/refine.py). Returns (B, M, C) int32."""
+    blocks = _build_blocks(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
+                           peaks, y, sig_csf, sig_ear, K, csf_on, ear_on)
+    return mfn.exhaustive_candidates_blocks(tuple(blocks), y, M=M)
+
+
+def _r2_np(y, y_rec):
+    n = y.shape[-1]
+    yc = y - y.mean(axis=-1, keepdims=True)
+    rc = y_rec - y_rec.mean(axis=-1, keepdims=True)
+    num = np.sum(yc * rc, axis=-1)
+    den = np.sqrt(np.sum(yc * yc, axis=-1) * np.sum(rc * rc, axis=-1))
+    ok = (den > 0) & (n > 1)
+    r = np.where(ok, num / np.where(ok, den, 1.0), 0.0)
+    return r * r
+
+
 def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
-               K, csf_on, ear_on, batch=128, dtype=None, mesh=None):
+               K, csf_on, ear_on, batch=128, dtype=None, mesh=None,
+               refine=False, ms_host=None, plan_host=None, topm=8):
     """Run the fit step over a bucket of voxels in fixed-size chunks.
 
     ``peaks`` (n, 3*K) and ``y`` (n, S) are NumPy arrays for one bucket;
@@ -136,6 +177,26 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
         if mesh is not None:
             pk_d = pmesh.shard_batch(mesh, pk_d)
             yy_d = pmesh.shard_batch(mesh, yy_d)
+        if refine:
+            # f32 device scan -> top-M candidates -> exact f64 host re-score
+            from . import refine as refine_mod
+            cand = fit_step_candidates(
+                xs, ys, cnt, gdir, lo, hi, wG, pk_d, yy_d,
+                sig_csf_d, sig_ear_d,
+                K=K, csf_on=bool(csf_on), ear_on=bool(ear_on), M=topm)
+            cand = np.asarray(cand)[:m]
+            w_b, ind_b, obj_b, y_rec = refine_mod.refine_candidates(
+                ms_host, plan_host, pk[:m, :K] if K > 0 else pk[:m, :0],
+                y[st:en].astype(np.float64),
+                np.asarray(sig_csf, dtype=np.float64) if csf_on else None,
+                np.asarray(sig_ear, dtype=np.float64) if ear_on else None,
+                cand, K, bool(csf_on), bool(ear_on))
+            out_w[st:en] = w_b
+            out_ind[st:en] = ind_b
+            out_obj[st:en] = obj_b
+            out_mse[st:en] = obj_b / S
+            out_r2[st:en] = _r2_np(y[st:en].astype(np.float64), y_rec)
+            continue
         res = fit_step(xs, ys, cnt, gdir, lo, hi, wG,
                        pk_d, yy_d,
                        sig_csf_d, sig_ear_d,

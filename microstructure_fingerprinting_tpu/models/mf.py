@@ -243,13 +243,17 @@ class MFModel(object):
             peaks=None, colat_longit=None, tensors=None,
             pgse_scheme=None, bvals=None, bvecs=None,
             csf_mask=None, ear_mask=None,
-            verbose=1, parallel=False, batch_size=None):
+            verbose=1, parallel=False, batch_size=None, refine=None,
+            topm=16):
         """Fit the fingerprinting model in every masked voxel.
 
         Same argument contract as the reference ``MFModel.fit``
         (mf.py:516-616): every array argument also accepts a NIfTI path
         (and scalars for masks / numfasc). ``parallel=True`` shards voxel
         batches over all jax devices instead of spawning processes.
+        ``refine`` selects float64 host re-scoring of the accelerator's
+        top-M candidates (default: enabled exactly when jax runs in float32,
+        i.e. on TPU, where it restores reference float64 selection quality).
         Returns an :class:`MFModelFit`.
         """
         VRB = verbose
@@ -408,6 +412,10 @@ class MFModel(object):
         i_mse = 2 * maxfasc + csf_on + 2 * ear_on + 1
         i_r2 = i_mse + 1
 
+        if refine is None:
+            # float64-exact selection is only needed when the device scan
+            # runs in float32 (x64 disabled)
+            refine = not jax.config.jax_enable_x64
         batch = batch_size or MFModel.DEFAULT_BATCH
         mesh = None
         if parallel and len(jax.devices()) > 1:
@@ -439,7 +447,9 @@ class MFModel(object):
                 tables, plan,
                 peaks_roi[idx, :3 * K] if K > 0 else np.zeros((idx.size, 0)),
                 y_roi[idx], sig_csf, sig_ear,
-                K, has_csf, has_ear, batch=batch, mesh=mesh)
+                K, has_csf, has_ear, batch=batch, mesh=mesh,
+                refine=refine, ms_host=self.ms_interpolator,
+                plan_host=plan_h, topm=topm)
             M0 = np.sum(w, axis=1)
             nu = np.where(np.abs(M0)[:, None] > 0, w /
                           np.where(np.abs(M0)[:, None] > 0,

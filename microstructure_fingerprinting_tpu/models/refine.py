@@ -1,0 +1,125 @@
+"""Float64 host re-scoring of top-M device candidates.
+
+The f32 accelerator scan resolves normalized-residual gaps down to ~1e-7;
+real fingerprint dictionaries contain atom pairs more correlated than that,
+so the scan returns its top-M candidates per voxel
+(ops/nnls.exhaustive_*_candidates) and this module re-solves the small NNLS
+exactly in float64 on the host for just those candidates — recovering
+reference (float64) selection quality at f32 scan speed. All closed-form
+subproblem logic is shared with the device kernels (ops/nnls.lsqnonneg_*
+with xp=numpy), so the decision rules (Cramer sign tests, fallback chains,
+tie-breaking by candidate rank) are identical.
+"""
+
+import numpy as np
+
+from ..ops import nnls as mfn
+
+
+def interp_columns_np(ms, plan, newdir, atom_ids):
+    """Rotated dictionary columns in float64 on the host.
+
+    ms: MultiShellInterp (numpy tables); plan: TargetSchemePlan;
+    newdir (B, 3); atom_ids (B, M). Returns (B, Nseq, M).
+    Mirrors ops/interp.eval_rotation exactly (same clamped-segment lerp).
+    """
+    B, M = atom_ids.shape
+    x = np.abs(np.einsum("sd,bd->bs", plan.gdir, newdir))   # (B, Nseq)
+
+    def shell_eval(s_idx):
+        xs_r = ms.xs[s_idx]                                  # (Nseq, Kmax)
+        cnt_r = ms.cnt[s_idx]
+        j = np.clip((x[:, :, None] >= xs_r[None]).sum(axis=2) - 1,
+                    0, (cnt_r - 2)[None])                    # (B, Nseq)
+        x0 = np.take_along_axis(xs_r[None].repeat(B, 0), j[:, :, None],
+                                axis=2)[:, :, 0]
+        x1 = np.take_along_axis(xs_r[None].repeat(B, 0), j[:, :, None] + 1,
+                                axis=2)[:, :, 0]
+        t = (x - x0) / (x1 - x0)                             # (B, Nseq)
+        s_b = np.broadcast_to(s_idx[None, :, None], (B, s_idx.size, M))
+        j_b = j[:, :, None]
+        a_b = atom_ids[:, None, :]
+        y0 = ms.ys[s_b, j_b, a_b]                            # (B, Nseq, M)
+        y1 = ms.ys[s_b, j_b + 1, a_b]
+        return y0 + t[:, :, None] * (y1 - y0)
+
+    lo = shell_eval(plan.shell_lo)
+    hi = shell_eval(plan.shell_hi)
+    return lo + plan.wG[None, :, None] * (hi - lo)
+
+
+def _solve_support(cols, y):
+    """Exact f64 NNLS over per-candidate column sets.
+
+    cols: list of K arrays (B, Nseq, M) — one selected column per
+    sub-dictionary per candidate; y: (B, Nseq).
+    Returns (w (B, M, K), res (B, M)).
+    """
+    K = len(cols)
+    y_sq = np.sum(y * y, axis=1)[:, None]                    # (B, 1)
+    Y = [np.einsum("bsm,bs->bm", c, y) for c in cols]
+    G = [[np.einsum("bsm,bsm->bm", cols[i], cols[j]) for j in range(K)]
+         for i in range(K)]
+    if K == 1:
+        w, res = mfn.lsqnonneg_1var(y_sq, G[0][0], Y[0], xp=np)
+        return w[:, :, None], res
+    if K == 2:
+        w1, w2, res = mfn.lsqnonneg_2var(y_sq, G[0][0], G[0][1], G[1][1],
+                                         Y[0], Y[1], xp=np)
+        return np.stack([w1, w2], axis=2), res
+    if K == 3:
+        w1, w2, w3, res = mfn.lsqnonneg_3var(
+            y_sq, G[0][0], G[1][1], G[2][2], G[0][1], G[0][2], G[1][2],
+            Y[0], Y[1], Y[2], xp=np)
+        return np.stack([w1, w2, w3], axis=2), res
+    if K == 4:
+        w1, w2, w3, w4, res = mfn.lsqnonneg_4var(
+            y_sq, tuple(tuple(G[i][j] for j in range(4)) for i in range(4)),
+            tuple(Y), xp=np)
+        return np.stack([w1, w2, w3, w4], axis=2), res
+    raise NotImplementedError("refine supports up to 4 sub-dictionaries")
+
+
+def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
+                      cand_ids, K, csf_on, ear_on):
+    """Select the exact winner among device candidates, in float64.
+
+    Args:
+      ms, plan: host interpolation tables and target-scheme plan.
+      peaks (B, K, 3), y (B, Nseq) float64.
+      sig_csf (Nseq,), sig_ear (Nseq, E) or None.
+      cand_ids (B, M, C) int32 per-sub-dictionary candidate indices
+        (C = K + csf_on + ear_on).
+    Returns (w (B, C), ind (B, C) int32, min_obj (B,), y_rec (B, Nseq)).
+    """
+    B, M, C = cand_ids.shape
+    y = np.asarray(y, dtype=np.float64)
+    cols = []
+    for k in range(K):
+        cols.append(interp_columns_np(ms, plan, peaks[:, k, :],
+                                      cand_ids[:, :, k]))
+    c = K
+    Nseq = y.shape[1]
+    if csf_on:
+        cols.append(np.broadcast_to(sig_csf[None, :, None], (B, Nseq, M)))
+        c += 1
+    if ear_on:
+        e_ids = cand_ids[:, :, c]
+        cols.append(np.transpose(sig_ear[:, e_ids], (1, 0, 2)))
+        c += 1
+
+    w, res = _solve_support(cols, y)                         # (B, M, C), (B, M)
+    res = np.where(np.isnan(res), np.inf, res)
+    # winner: min residual, ties -> lowest candidate rank (device candidates
+    # are ordered by (f32 residual, reference candidate rank))
+    best = np.argmin(res, axis=1)                            # first minimum
+    w_best = np.take_along_axis(w, best[:, None, None], axis=1)[:, 0, :]
+    ind_best = np.take_along_axis(cand_ids, best[:, None, None],
+                                  axis=1)[:, 0, :]
+    obj = np.take_along_axis(res, best[:, None], axis=1)[:, 0]
+    y_rec = np.zeros_like(y)
+    for j in range(C):
+        col = np.take_along_axis(
+            cols[j], best[:, None, None], axis=2)[:, :, 0]
+        y_rec += w_best[:, j][:, None] * col
+    return w_best, ind_best.astype(np.int32), obj, y_rec

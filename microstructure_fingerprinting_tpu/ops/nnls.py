@@ -52,25 +52,25 @@ _TOL3 = 100 * _EPS
 _TILE_N1 = 128  # candidate-grid tile along the first sub-dictionary axis
 
 
-def _sanitize(res):
+def _sanitize(res, xp=jnp):
     """NaN residuals (degenerate Gram) never win the argmin, matching the
     reference where `nan < min_obj` is always False."""
-    return jnp.where(jnp.isnan(res), jnp.inf, res)
+    return xp.where(xp.isnan(res), xp.inf, res)
 
 
 # ---------------------------------------------------------------------------
 # Closed-form small NNLS subproblems (branchless, elementwise over arrays)
 # ---------------------------------------------------------------------------
 
-def lsqnonneg_1var(y_sq, a_sq, a_y):
+def lsqnonneg_1var(y_sq, a_sq, a_y, xp=jnp):
     """1-variable NNLS from precomputed scalars: w = max(a'y, 0)/a'a."""
     pos = a_y >= 0
-    w = jnp.where(pos, a_y / a_sq, 0.0)
-    res = jnp.where(pos, y_sq - w * a_y, y_sq)
+    w = xp.where(pos, a_y / a_sq, 0.0)
+    res = xp.where(pos, y_sq - w * a_y, y_sq)
     return w, res
 
 
-def lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2):
+def lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2, xp=jnp):
     """2-variable NNLS from precomputed Gram scalars.
 
     Branchless implementation of the exact sign-case analysis of the
@@ -101,15 +101,16 @@ def lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2):
     take1 = (case2 & (Y1 >= 0)) | (case4 & (Y1 > 0))
     take2 = (case3 & (Y2 >= 0)) | (case4 & (Y1 <= 0) & (Y2 > 0))
 
-    w1 = jnp.where(case1, w1_full, jnp.where(take1, w1_only, 0.0))
-    w2 = jnp.where(case1, w2_full, jnp.where(take2, w2_only, 0.0))
-    res = jnp.where(case1, res_full,
-                    jnp.where(take1, res1_only,
-                              jnp.where(take2, res2_only, y_sq)))
-    return w1, w2, _sanitize(res)
+    w1 = xp.where(case1, w1_full, xp.where(take1, w1_only, 0.0))
+    w2 = xp.where(case1, w2_full, xp.where(take2, w2_only, 0.0))
+    res = xp.where(case1, res_full,
+                   xp.where(take1, res1_only,
+                            xp.where(take2, res2_only, y_sq)))
+    return w1, w2, _sanitize(res, xp)
 
 
-def lsqnonneg_3var(y_sq, A11, A22, A33, A12, A13, A23, Y1, Y2, Y3):
+def lsqnonneg_3var(y_sq, A11, A22, A33, A12, A13, A23, Y1, Y2, Y3,
+                   xp=jnp):
     """3-variable NNLS via Cramer + 2-variable fallback chain.
 
     Branchless port of the reference decision logic (mf_utils.py:548-593):
@@ -134,27 +135,27 @@ def lsqnonneg_3var(y_sq, A11, A22, A33, A12, A13, A23, Y1, Y2, Y3):
              + 2 * (w1f * w2f * A12 + w1f * w3f * A13 + w2f * w3f * A23
                     - w1f * Y1 - w2f * Y2 - w3f * Y3))
 
-    w12a, w12b, r12 = lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2)
-    w13a, w13b, r13 = lsqnonneg_2var(y_sq, A11, A13, A33, Y1, Y3)
-    w23a, w23b, r23 = lsqnonneg_2var(y_sq, A22, A23, A33, Y2, Y3)
+    w12a, w12b, r12 = lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2, xp)
+    w13a, w13b, r13 = lsqnonneg_2var(y_sq, A11, A13, A33, Y1, Y3, xp)
+    w23a, w23b, r23 = lsqnonneg_2var(y_sq, A22, A23, A33, Y2, Y3, xp)
 
     # fallback chain: start with (12); (13) wins if strictly better; then (23)
-    fb_w1, fb_w2, fb_w3, fb_r = w12a, w12b, jnp.zeros_like(w12a), r12
+    fb_w1, fb_w2, fb_w3, fb_r = w12a, w12b, xp.zeros_like(w12a), r12
     take13 = r13 < fb_r
-    fb_w1 = jnp.where(take13, w13a, fb_w1)
-    fb_w2 = jnp.where(take13, 0.0, fb_w2)
-    fb_w3 = jnp.where(take13, w13b, fb_w3)
-    fb_r = jnp.where(take13, r13, fb_r)
+    fb_w1 = xp.where(take13, w13a, fb_w1)
+    fb_w2 = xp.where(take13, 0.0, fb_w2)
+    fb_w3 = xp.where(take13, w13b, fb_w3)
+    fb_r = xp.where(take13, r13, fb_r)
     take23 = r23 < fb_r
-    fb_w1 = jnp.where(take23, 0.0, fb_w1)
-    fb_w2 = jnp.where(take23, w23a, fb_w2)
-    fb_w3 = jnp.where(take23, w23b, fb_w3)
-    fb_r = jnp.where(take23, r23, fb_r)
+    fb_w1 = xp.where(take23, 0.0, fb_w1)
+    fb_w2 = xp.where(take23, w23a, fb_w2)
+    fb_w3 = xp.where(take23, w23b, fb_w3)
+    fb_r = xp.where(take23, r23, fb_r)
 
-    w1 = jnp.where(full, w1f, fb_w1)
-    w2 = jnp.where(full, w2f, fb_w2)
-    w3 = jnp.where(full, w3f, fb_w3)
-    res = jnp.where(full, _sanitize(res_f), fb_r)
+    w1 = xp.where(full, w1f, fb_w1)
+    w2 = xp.where(full, w2f, fb_w2)
+    w3 = xp.where(full, w3f, fb_w3)
+    res = xp.where(full, _sanitize(res_f, xp), fb_r)
     return w1, w2, w3, res
 
 
@@ -206,7 +207,7 @@ def _solve_posdef_cramer(G_rows, Y):
     return tuple(ws), det
 
 
-def lsqnonneg_4var(y_sq, G, Y):
+def lsqnonneg_4var(y_sq, G, Y, xp=jnp):
     """4-variable NNLS by exhaustive support enumeration (15 supports).
 
     ``G``: 4x4 nested tuple of Gram scalars (broadcastable arrays),
@@ -224,7 +225,7 @@ def lsqnonneg_4var(y_sq, G, Y):
     for >= 4 sub-dictionaries (mf_utils.py:612-657) with a branchless,
     vectorizable formulation that returns the same optimum.
     """
-    zeros = jnp.zeros_like(y_sq + G[0][0] * 0.0)
+    zeros = xp.zeros_like(y_sq + G[0][0] * 0.0)
     best_res = y_sq + zeros
     best_w = [zeros, zeros, zeros, zeros]
     for mask in range(1, 16):
@@ -232,20 +233,20 @@ def lsqnonneg_4var(y_sq, G, Y):
         G_S = tuple(tuple(G[r][c] for c in S) for r in S)
         Y_S = tuple(Y[i] for i in S)
         w_S, _det = _solve_posdef_cramer(G_S, Y_S)
-        feas = jnp.full_like(best_res, True, dtype=bool)
+        feas = xp.full_like(best_res, True, dtype=bool)
         res = y_sq + zeros
         for a, (wa, ya) in enumerate(zip(w_S, Y_S)):
-            feas = feas & (wa >= 0) & jnp.isfinite(wa)
+            feas = feas & (wa >= 0) & xp.isfinite(wa)
             res = res - 2.0 * wa * ya
             for b_, wb in enumerate(w_S):
                 res = res + wa * wb * G_S[a][b_]
-        res = _sanitize(jnp.where(feas, res, jnp.inf))
+        res = _sanitize(xp.where(feas, res, xp.inf), xp)
         better = res < best_res
         new_w = [zeros] * 4
         for wi, i in zip(w_S, S):
             new_w[i] = wi
-        best_w = [jnp.where(better, new_w[i], best_w[i]) for i in range(4)]
-        best_res = jnp.where(better, res, best_res)
+        best_w = [xp.where(better, new_w[i], best_w[i]) for i in range(4)]
+        best_res = xp.where(better, res, best_res)
     return best_w[0], best_w[1], best_w[2], best_w[3], best_res
 
 
@@ -605,6 +606,189 @@ def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
     w = jnp.stack(bw, axis=1)
     ind = jnp.stack([i1, i2, i3, i4], axis=1).astype(jnp.int32)
     return w, ind, best_res * y_out_sq
+
+
+# ---------------------------------------------------------------------------
+# Top-M candidate scans (for float64 host re-scoring on f32 accelerators)
+# ---------------------------------------------------------------------------
+#
+# The f32 candidate scan resolves residual gaps down to ~1e-7 relative; real
+# fingerprint dictionaries contain atom pairs closer than that. Instead of
+# paying emulated-f64 for the whole 10^6-candidate sweep, these variants keep
+# the M best candidates per voxel (merged tile-by-tile with a lexicographic
+# (residual, candidate-rank) sort so reference tie-breaking is preserved) and
+# leave the exact selection to a float64 re-scorer over M candidates
+# (models/refine.py).
+
+def _merge_topm(vals, flats, tile_vals, tile_flats, M):
+    allv = jnp.concatenate([vals, tile_vals], axis=1)
+    allf = jnp.concatenate([flats.astype(jnp.int32),
+                            tile_flats.astype(jnp.int32)], axis=1)
+    # primary key: residual; secondary: candidate rank (reference order)
+    order = jnp.lexsort((allf, allv), axis=-1)
+    order = order[:, :M]
+    return (jnp.take_along_axis(allv, order, axis=1),
+            jnp.take_along_axis(allf, order, axis=1).astype(jnp.int32))
+
+
+def _tile_topm(res_flat, gflat, M):
+    negv, idx = lax.top_k(-res_flat, M)          # ties -> lowest index first
+    return -negv, jnp.take_along_axis(gflat, idx, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("M", "tile"))
+def exhaustive_2_candidates(A1, A2, y, M=8, tile=_TILE_N1):
+    """Top-M candidate flats for the K=2 scan. Returns (flats (B, M) int32,
+    vals (B, M) normalized residuals); flat = i1 * N2 + i2."""
+    B = y.shape[0]
+    N2 = A2.shape[2]
+    A2h, an2 = _normalize_block(A2)
+    yh, yn, yn_safe = _normalize_y(y)
+    Y2 = jnp.einsum("bs,bsn->bn", yh, A2h, preferred_element_type=A2.dtype,
+                    precision=lax.Precision.HIGHEST)
+    A1p, N1 = _pad_cols(A1, tile)
+    A1h, an1 = _normalize_block(A1p)
+    tile = min(tile, A1p.shape[2])
+    Y1p = jnp.einsum("bs,bsn->bn", yh, A1h, preferred_element_type=A1.dtype,
+                     precision=lax.Precision.HIGHEST)
+    one = jnp.ones_like(yn)
+    n_tiles = A1p.shape[2] // tile
+    S = A1p.shape[1]
+
+    def body(carry, t):
+        vals, flats = carry
+        st = t * tile
+        A1t = lax.dynamic_slice(A1h, (0, 0, st), (B, S, tile))
+        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2h,
+                         preferred_element_type=A2.dtype,
+                         precision=lax.Precision.HIGHEST)
+        _w1, _w2, res = lsqnonneg_2var(one[:, None, None],
+                                       jnp.ones((B, tile, 1), A1.dtype),
+                                       G12, jnp.ones((B, 1, N2), A1.dtype),
+                                       Y1t[:, :, None], Y2[:, None, :])
+        i1 = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        res = jnp.where((i1 < N1)[None], res, jnp.inf)
+        gflat = jnp.broadcast_to((i1 * N2 + lax.broadcasted_iota(
+            jnp.int32, (tile, N2), 1)).reshape(1, -1), (B, tile * N2))
+        tv, tf = _tile_topm(res.reshape(B, -1), gflat, M)
+        return _merge_topm(vals, flats, tv, tf, M), None
+
+    init = (jnp.full((B, M), jnp.inf, dtype=A1.dtype),
+            jnp.zeros((B, M), jnp.int32))
+    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    return flats, vals
+
+
+@partial(jax.jit, static_argnames=("M", "tile"))
+def exhaustive_3_candidates(A1, A2, A3, y, M=8, tile=_TILE_N1):
+    """Top-M candidates for the K=3 scan; flat = ((i3*N1p)+i1)*N2+i2 with
+    N1p the padded N1 (decode with the same padding)."""
+    B = y.shape[0]
+    N2, N3 = A2.shape[2], A3.shape[2]
+    dt = A1.dtype
+    A2h, an2 = _normalize_block(A2)
+    A3h, an3 = _normalize_block(A3)
+    yh, yn, yn_safe = _normalize_y(y)
+    Y2 = jnp.einsum("bs,bsn->bn", yh, A2h, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    Y3 = jnp.einsum("bs,bsn->bn", yh, A3h, preferred_element_type=dt,
+                    precision=lax.Precision.HIGHEST)
+    A1p, N1 = _pad_cols(A1, tile)
+    A1h, an1 = _normalize_block(A1p)
+    tile = min(tile, A1p.shape[2])
+    N1p = A1p.shape[2]
+    n_tiles = N1p // tile
+    S = A1p.shape[1]
+    Y1p = jnp.einsum("bs,bsn->bn", yh, A1h, preferred_element_type=dt,
+                     precision=lax.Precision.HIGHEST)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1h, A3h, preferred_element_type=dt,
+                      precision=lax.Precision.HIGHEST)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2h, A3h, preferred_element_type=dt,
+                     precision=lax.Precision.HIGHEST)
+    one = jnp.ones_like(yn)
+
+    def body(carry, idx):
+        vals, flats = carry
+        i3 = (idx // n_tiles).astype(jnp.int32)
+        t = idx % n_tiles
+        st = t * tile
+        A1t = lax.dynamic_slice(A1h, (0, 0, st), (B, S, tile))
+        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
+        G13t = lax.dynamic_slice(G13p, (0, st, 0), (B, tile, N3))
+        A13 = jnp.take_along_axis(
+            G13t, jnp.broadcast_to(i3.reshape(1, 1, 1), (B, tile, 1)),
+            axis=2)[:, :, 0]
+        A23 = jnp.take_along_axis(
+            G23, jnp.broadcast_to(i3.reshape(1, 1, 1), (B, N2, 1)),
+            axis=2)[:, :, 0]
+        Y3i = jnp.take_along_axis(
+            Y3, jnp.broadcast_to(i3.reshape(1, 1), (B, 1)), axis=1)[:, 0]
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2h,
+                         preferred_element_type=dt,
+                         precision=lax.Precision.HIGHEST)
+        _w1, _w2, _w3, res = lsqnonneg_3var(
+            one[:, None, None],
+            jnp.ones((B, tile, 1), dt), jnp.ones((B, 1, N2), dt),
+            one[:, None, None],
+            G12, A13[:, :, None], A23[:, None, :],
+            Y1t[:, :, None], Y2[:, None, :], Y3i[:, None, None])
+        i1 = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        res = jnp.where((i1 < N1)[None], res, jnp.inf)
+        gflat = jnp.broadcast_to(
+            ((i3 * N1p + i1) * N2 + lax.broadcasted_iota(
+                jnp.int32, (tile, N2), 1)).reshape(1, -1), (B, tile * N2))
+        tv, tf = _tile_topm(res.reshape(B, -1), gflat, M)
+        return _merge_topm(vals, flats, tv, tf, M), None
+
+    init = (jnp.full((B, M), jnp.inf, dtype=dt),
+            jnp.zeros((B, M), jnp.int32))
+    (vals, flats), _ = lax.scan(body, init, jnp.arange(N3 * n_tiles))
+    return flats, vals
+
+
+def exhaustive_candidates_blocks(blocks, y, M=8, tile=_TILE_N1):
+    """Top-M candidate subdictionary indices for 1-4 blocks.
+
+    Returns ind (B, M, K) int32 (per-subdictionary indices, reference
+    candidate order preserved within the top set).
+    """
+    k = len(blocks)
+    B = y.shape[0]
+    if k == 1:
+        A1h, _ = _normalize_block(blocks[0])
+        yh, _, _ = _normalize_y(y)
+        Y1 = jnp.einsum("bs,bsn->bn", yh, A1h,
+                        preferred_element_type=A1h.dtype,
+                        precision=lax.Precision.HIGHEST)
+        res = 1.0 - jnp.where(Y1 >= 0, Y1 * Y1, 0.0)
+        M_eff = min(M, blocks[0].shape[2])
+        _negv, idx = lax.top_k(-res, M_eff)
+        if M_eff < M:
+            idx = jnp.concatenate(
+                [idx, jnp.repeat(idx[:, -1:], M - M_eff, axis=1)], axis=1)
+        return idx[:, :, None].astype(jnp.int32)
+    if k == 2:
+        N2 = blocks[1].shape[2]
+        flats, _ = exhaustive_2_candidates(blocks[0], blocks[1], y, M=M,
+                                           tile=tile)
+        return jnp.stack([flats // N2, flats % N2], axis=2).astype(jnp.int32)
+    if k == 3:
+        N2, N3 = blocks[1].shape[2], blocks[2].shape[2]
+        N1p = int(math.ceil(blocks[0].shape[2] / tile) * tile)
+        flats, _ = exhaustive_3_candidates(blocks[0], blocks[1], blocks[2],
+                                           y, M=M, tile=tile)
+        i3 = flats // (N1p * N2)
+        rem = flats % (N1p * N2)
+        return jnp.stack([rem // N2, rem % N2, i3], axis=2).astype(jnp.int32)
+    if k == 4:
+        # fold blocks 3 and 4 into a single product sub-dictionary for
+        # candidate generation is incorrect for NNLS; instead run the top-1
+        # K=4 scan and let the re-scorer verify it (M=1 candidate).
+        w, ind, obj = exhaustive_4_batched(blocks[0], blocks[1], blocks[2],
+                                           blocks[3], y, tile=tile)
+        return ind[:, None, :]
+    raise NotImplementedError("candidates supported for 1-4 blocks")
 
 
 def exhaustive_nnls_blocks(blocks, y):

@@ -298,3 +298,43 @@ def test_nifti_reads_real_fixtures():
     mask = nifti.load(fixture_path("C001_mask_small.nii.gz")).get_fdata()
     assert mask.shape == img.shape[:-1]
     assert mask.max() > 0
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_refined_fit_matches_exact(rng):
+    """refine=True (f32 scan + f64 host re-score) == refine=False (f64 scan):
+    the precision path used on TPU reproduces exact float64 selection."""
+    dic = _make_dictionary(n_atoms=96)
+    data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
+        dic, rng)
+    model = MFModel(dic)
+    kw = dict(peaks=peaks, pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+              ear_mask=ear_mask, verbose=0, batch_size=8)
+    f_exact = model.fit(data, mask, numfasc, refine=False, **kw)
+    f_ref = model.fit(data, mask, numfasc, refine=True, **kw)
+    for p in f_exact.param_names:
+        # atol floor: near-zero noiseless residuals (MSE) are cancellation
+        # noise on both computation paths
+        np.testing.assert_allclose(getattr(f_ref, p), getattr(f_exact, p),
+                                   rtol=1e-6, atol=1e-7, err_msg=p)
+
+
+def test_candidates_contain_optimum(rng):
+    """Device top-M candidate sets contain the exact optimum (f64 scan)."""
+    from microstructure_fingerprinting_tpu.ops import nnls as mfn
+    B, S, N1, N2, N3 = 4, 40, 50, 45, 3
+    A1, A2, A3 = rng.randn(B, S, N1), rng.randn(B, S, N2), rng.randn(B, S, N3)
+    y = rng.randn(B, S)
+    w, ind, obj = mfn.exhaustive_3_batched(A1, A2, A3, y)
+    cand = np.asarray(mfn.exhaustive_candidates_blocks(
+        (A1, A2, A3), y, M=8))
+    ind = np.asarray(ind)
+    for b in range(B):
+        found = np.any(np.all(cand[b] == ind[b][None, :], axis=1))
+        assert found, "optimum missing from candidate set (voxel %d)" % b
+    # K=2 as well
+    w2, ind2, _ = mfn.exhaustive_2_batched(A1, A2, y)
+    cand2 = np.asarray(mfn.exhaustive_candidates_blocks((A1, A2), y, M=8))
+    ind2 = np.asarray(ind2)
+    for b in range(B):
+        assert np.any(np.all(cand2[b] == ind2[b][None, :], axis=1))
