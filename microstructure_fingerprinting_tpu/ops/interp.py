@@ -110,6 +110,27 @@ class MultiShellInterp:
                           jnp.asarray(self.cnt, dtype=jnp.int32))
         return cache[key]
 
+    def save(self, path):
+        """Persist the precomputed tables (.npz) for instant model re-init.
+
+        Addresses the reference's TODO of pickling the interpolator
+        (mf.py:504-505) with a portable array format instead of pickle.
+        """
+        np.savez_compressed(path,
+                            scheme_DeldelTE=self.scheme_DeldelTE,
+                            num_subs=np.int64(self.num_subs),
+                            Gms_un=self.Gms_un, xs=self.xs, ys=self.ys,
+                            cnt=self.cnt)
+        return path
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path) as z:
+            return cls(scheme_DeldelTE=z["scheme_DeldelTE"],
+                       num_subs=int(z["num_subs"]),
+                       Gms_un=z["Gms_un"], xs=z["xs"], ys=z["ys"],
+                       cnt=z["cnt"])
+
 
 def _validate_dense_inputs(sig_ms, sch_mat_ms, ordir):
     if ordir.size != 3:

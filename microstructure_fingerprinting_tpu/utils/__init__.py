@@ -1,3 +1,3 @@
 """Host-side utilities: file I/O, scheme handling, optional-dep guards."""
 
-from . import io, nifti, scheme  # noqa: F401
+from . import io, nifti, scheme, profiling  # noqa: F401
