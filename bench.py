@@ -21,37 +21,35 @@ import numpy as np
 
 
 NUM_ATOM = 782
-N_VOX_BATCH = 64
-N_BATCHES = 8
+N_VOX_BATCH = 2048
+N_BATCHES = 2
+CHUNK = 64
 
 
 def _tpu_throughput(wl):
+    """Throughput of the production fit path: grouped-matmul rotation +
+    fused Pallas Gram/scan kernel + float64 top-M host re-scoring
+    (models/fit.run_bucket_pallas — what MFModel.fit uses on TPU)."""
     import jax
-    import jax.numpy as jnp
-    from microstructure_fingerprinting_tpu.models.fit import fit_step
+    from microstructure_fingerprinting_tpu.models.fit import run_bucket_pallas
 
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
     ms, plan = wl["msinterp"], wl["plan"]
-    xs, ys, cnt = ms.device_tables()
-    dt = xs.dtype
-    gdir = jnp.asarray(plan.gdir, dtype=dt)
-    lo = jnp.asarray(plan.shell_lo)
-    hi = jnp.asarray(plan.shell_hi)
-    wG = jnp.asarray(plan.wG, dtype=dt)
-    sig_csf = jnp.asarray(wl["sig_csf"], dtype=dt)
-    sig_ear = jnp.zeros((wl["y"].shape[1], 1), dtype=dt)
-    peaks = jnp.asarray(wl["peaks"], dtype=dt)
-    y = jnp.asarray(wl["y"], dtype=dt)
+    _xs, ys_t, _cnt = ms.device_tables()
+    peaks = wl["peaks"].reshape(N_VOX_BATCH, 6)
+    y = wl["y"]
+    interpret = jax.default_backend() != "tpu"
+    rotator = mfi.make_grouped_rotation(ms, plan)  # built once per fit
 
-    def step(pk, yy):
-        return fit_step(xs, ys, cnt, gdir, lo, hi, wG, pk, yy,
-                        sig_csf, sig_ear, K=2, csf_on=True, ear_on=False)
+    def step():
+        return run_bucket_pallas(ms, plan, ys_t, peaks, y, wl["sig_csf"],
+                                 2, True, batch=CHUNK, topm=16,
+                                 interpret=interpret, rotator=rotator)
 
-    out = step(peaks, y)  # compile + warm
-    jax.block_until_ready(out)
+    step()  # compile + warm
     t0 = time.time()
     for _ in range(N_BATCHES):
-        out = step(peaks, y)
-    jax.block_until_ready(out)
+        out = step()
     dt_s = time.time() - t0
     vox_per_s = N_BATCHES * N_VOX_BATCH / dt_s
     return vox_per_s, out

@@ -244,7 +244,7 @@ class MFModel(object):
             pgse_scheme=None, bvals=None, bvecs=None,
             csf_mask=None, ear_mask=None,
             verbose=1, parallel=False, batch_size=None, refine=None,
-            topm=16):
+            topm=16, engine="auto"):
         """Fit the fingerprinting model in every masked voxel.
 
         Same argument contract as the reference ``MFModel.fit``
@@ -438,18 +438,35 @@ class MFModel(object):
                 continue  # stays all-zero (reference mf.py:387-388)
             configs.setdefault(key, []).append(i)
 
+        # fused Pallas fast path: 2-fascicle (+CSF) configs on TPU
+        use_pallas = (engine == "pallas"
+                      or (engine == "auto" and refine and mesh is None
+                          and jax.default_backend() == "tpu"))
+        pallas_interpret = jax.default_backend() != "tpu"
+        rotator = None
+        if use_pallas and any(k[0] == 2 and not k[2] for k in configs):
+            rotator = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
+
         for (K, has_csf, has_ear), idx_list in sorted(configs.items()):
             idx = np.asarray(idx_list)
             if VRB >= 3:
                 print("Config K=%d csf=%d ear=%d: %d voxel(s)"
                       % (K, has_csf, has_ear, idx.size))
-            w, ind, obj, mse, r2 = fit_mod.run_bucket(
-                tables, plan,
-                peaks_roi[idx, :3 * K] if K > 0 else np.zeros((idx.size, 0)),
-                y_roi[idx], sig_csf, sig_ear,
-                K, has_csf, has_ear, batch=batch, mesh=mesh,
-                refine=refine, ms_host=self.ms_interpolator,
-                plan_host=plan_h, topm=topm)
+            if use_pallas and K == 2 and not has_ear:
+                w, ind, obj, mse, r2 = fit_mod.run_bucket_pallas(
+                    self.ms_interpolator, plan_h, tables[1],
+                    peaks_roi[idx, :6], y_roi[idx], sig_csf,
+                    K, has_csf, batch=batch, topm=topm,
+                    interpret=pallas_interpret, rotator=rotator)
+            else:
+                w, ind, obj, mse, r2 = fit_mod.run_bucket(
+                    tables, plan,
+                    peaks_roi[idx, :3 * K] if K > 0
+                    else np.zeros((idx.size, 0)),
+                    y_roi[idx], sig_csf, sig_ear,
+                    K, has_csf, has_ear, batch=batch, mesh=mesh,
+                    refine=refine, ms_host=self.ms_interpolator,
+                    plan_host=plan_h, topm=topm)
             M0 = np.sum(w, axis=1)
             nu = np.where(np.abs(M0)[:, None] > 0, w /
                           np.where(np.abs(M0)[:, None] > 0,

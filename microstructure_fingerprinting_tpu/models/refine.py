@@ -14,6 +14,19 @@ tie-breaking by candidate rank) are identical.
 import numpy as np
 
 from ..ops import nnls as mfn
+from ..utils import native
+
+
+def interp_columns(ms, plan, newdir, atom_ids):
+    """Rotated columns in float64, candidate-major (B, M, Nseq): native C++
+    kernel when available (utils/native.py), NumPy otherwise."""
+    if native.available():
+        return native.interp_columns_f64(
+            ms.xs, ms.cnt, ms.ys, plan.gdir, plan.shell_lo, plan.shell_hi,
+            plan.wG, np.ascontiguousarray(newdir, np.float64),
+            np.ascontiguousarray(atom_ids, np.int32))
+    return np.ascontiguousarray(
+        interp_columns_np(ms, plan, newdir, atom_ids).transpose(0, 2, 1))
 
 
 def interp_columns_np(ms, plan, newdir, atom_ids):
@@ -26,15 +39,15 @@ def interp_columns_np(ms, plan, newdir, atom_ids):
     B, M = atom_ids.shape
     x = np.abs(np.einsum("sd,bd->bs", plan.gdir, newdir))   # (B, Nseq)
 
+    seq = np.arange(plan.gdir.shape[0])
+
     def shell_eval(s_idx):
         xs_r = ms.xs[s_idx]                                  # (Nseq, Kmax)
         cnt_r = ms.cnt[s_idx]
         j = np.clip((x[:, :, None] >= xs_r[None]).sum(axis=2) - 1,
                     0, (cnt_r - 2)[None])                    # (B, Nseq)
-        x0 = np.take_along_axis(xs_r[None].repeat(B, 0), j[:, :, None],
-                                axis=2)[:, :, 0]
-        x1 = np.take_along_axis(xs_r[None].repeat(B, 0), j[:, :, None] + 1,
-                                axis=2)[:, :, 0]
+        x0 = xs_r[seq[None, :], j]
+        x1 = xs_r[seq[None, :], j + 1]
         t = (x - x0) / (x1 - x0)                             # (B, Nseq)
         s_b = np.broadcast_to(s_idx[None, :, None], (B, s_idx.size, M))
         j_b = j[:, :, None]
@@ -51,15 +64,21 @@ def interp_columns_np(ms, plan, newdir, atom_ids):
 def _solve_support(cols, y):
     """Exact f64 NNLS over per-candidate column sets.
 
-    cols: list of K arrays (B, Nseq, M) — one selected column per
-    sub-dictionary per candidate; y: (B, Nseq).
+    cols: list of K arrays (B, M, Nseq) — one selected column per
+    sub-dictionary per candidate (candidate-major); y: (B, Nseq).
     Returns (w (B, M, K), res (B, M)).
     """
     K = len(cols)
     y_sq = np.sum(y * y, axis=1)[:, None]                    # (B, 1)
-    Y = [np.einsum("bsm,bs->bm", c, y) for c in cols]
-    G = [[np.einsum("bsm,bsm->bm", cols[i], cols[j]) for j in range(K)]
-         for i in range(K)]
+    if native.available():
+        Gn, Yn = native.candidate_grams_f64(
+            np.ascontiguousarray(np.stack(cols, axis=0)), y)
+        Y = [Yn[i] for i in range(K)]
+        G = [[Gn[i, j] for j in range(K)] for i in range(K)]
+    else:
+        Y = [np.einsum("bms,bs->bm", c, y) for c in cols]
+        G = [[np.einsum("bms,bms->bm", cols[i], cols[j]) for j in range(K)]
+             for i in range(K)]
     if K == 1:
         w, res = mfn.lsqnonneg_1var(y_sq, G[0][0], Y[0], xp=np)
         return w[:, :, None], res
@@ -96,16 +115,16 @@ def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
     y = np.asarray(y, dtype=np.float64)
     cols = []
     for k in range(K):
-        cols.append(interp_columns_np(ms, plan, peaks[:, k, :],
-                                      cand_ids[:, :, k]))
+        cols.append(interp_columns(ms, plan, peaks[:, k, :],
+                                   cand_ids[:, :, k]))
     c = K
     Nseq = y.shape[1]
     if csf_on:
-        cols.append(np.broadcast_to(sig_csf[None, :, None], (B, Nseq, M)))
+        cols.append(np.broadcast_to(sig_csf[None, None, :], (B, M, Nseq)))
         c += 1
     if ear_on:
         e_ids = cand_ids[:, :, c]
-        cols.append(np.transpose(sig_ear[:, e_ids], (1, 0, 2)))
+        cols.append(np.transpose(sig_ear[:, e_ids], (1, 2, 0)))
         c += 1
 
     w, res = _solve_support(cols, y)                         # (B, M, C), (B, M)
@@ -120,6 +139,6 @@ def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
     y_rec = np.zeros_like(y)
     for j in range(C):
         col = np.take_along_axis(
-            cols[j], best[:, None, None], axis=2)[:, :, 0]
+            cols[j], best[:, None, None], axis=1)[:, 0, :]
         y_rec += w_best[:, j][:, None] * col
     return w_best, ind_best.astype(np.int32), obj, y_rec

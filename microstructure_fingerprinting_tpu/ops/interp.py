@@ -309,6 +309,75 @@ def eval_rotation(xs, ys, cnt, gdir, shell_lo, shell_hi, wG, newdir):
     return lo + wG[:, None] * (hi - lo)
 
 
+def make_grouped_rotation(msinterp, plan):
+    """Build an MXU-based batched rotation evaluator (throughput path).
+
+    The gather-based kernel (:func:`eval_rotation`) reads four table rows per
+    (sequence, voxel, fascicle) — ~1 GB of scattered row gathers per 64-voxel
+    batch on the flagship workload, which is gather-bandwidth bound on TPU.
+    This variant regroups target sequences by dense shell ON THE HOST (static
+    structure) and evaluates each shell's contribution as a small one-hot
+    lerp-weight matmul W_s (q_s, Kmax) @ ys[s] (Kmax, N) on the MXU, then
+    reassembles sequences with two static permutations. Identical results to
+    eval_rotation up to matmul rounding.
+
+    Returns a jitted fn(newdirs (B, K, 3)) -> (B, K, Nseq, N).
+    """
+    S = msinterp.Gms_un.size
+    Kmax = msinterp.xs.shape[1]
+    Nseq = plan.gdir.shape[0]
+    # entries: (shell, seq, coef-selector) for the lo and hi contributions
+    ids_lo = [np.where(plan.shell_lo == s)[0] for s in range(S)]
+    ids_hi = [np.where(plan.shell_hi == s)[0] for s in range(S)]
+    perm_lo = np.concatenate([i for i in ids_lo if i.size]
+                             or [np.zeros(0, int)]).astype(np.int32)
+    perm_hi = np.concatenate([i for i in ids_hi if i.size]
+                             or [np.zeros(0, int)]).astype(np.int32)
+    inv_lo = np.argsort(perm_lo).astype(np.int32)
+    inv_hi = np.argsort(perm_hi).astype(np.int32)
+    groups = []
+    for role, ids_list in (("lo", ids_lo), ("hi", ids_hi)):
+        for s in range(S):
+            if ids_list[s].size:
+                groups.append((role, s, ids_list[s].astype(np.int32)))
+
+    xs_h = msinterp.xs
+    cnt_h = msinterp.cnt
+    gdir_h = plan.gdir
+    wG_h = plan.wG
+
+    @jax.jit
+    def rotate(tables_ys, newdirs):
+        B, K, _ = newdirs.shape
+        dt = tables_ys.dtype
+        nd = newdirs.reshape(B * K, 3)
+        x = jnp.abs(jnp.einsum("sd,bd->bs", jnp.asarray(gdir_h, dtype=dt),
+                               nd, precision=jax.lax.Precision.HIGHEST))
+        outs = {"lo": [], "hi": []}
+        kiota = jnp.arange(Kmax, dtype=jnp.int32)
+        for role, s, ids in groups:
+            xq = x[:, ids]                              # (BK, q_s) static take
+            xs_s = jnp.asarray(xs_h[s], dtype=dt)       # (Kmax,)
+            j = jnp.clip(jnp.sum(xq[..., None] >= xs_s, axis=-1) - 1,
+                         0, int(cnt_h[s]) - 2).astype(jnp.int32)
+            x0 = xs_s[j]
+            x1 = xs_s[j + 1]
+            t = (xq - x0) / (x1 - x0)
+            W = ((1.0 - t)[..., None] * (kiota == j[..., None])
+                 + t[..., None] * (kiota == (j[..., None] + 1)))
+            outs[role].append(jnp.einsum(
+                "bqk,kn->bqn", W.astype(dt), tables_ys[s],
+                preferred_element_type=dt,
+                precision=jax.lax.Precision.HIGHEST))
+        R_lo = jnp.concatenate(outs["lo"], axis=1)[:, inv_lo, :]
+        R_hi = jnp.concatenate(outs["hi"], axis=1)[:, inv_hi, :]
+        w = jnp.asarray(wG_h, dtype=dt)[None, :, None]
+        D = R_lo + w * (R_hi - R_lo)
+        return D.reshape(B, K, Nseq, -1)
+
+    return rotate
+
+
 # vmap over fascicle directions: (K, 3) -> (K, Nseq, N)
 eval_rotation_multi = jax.jit(jax.vmap(
     eval_rotation, in_axes=(None, None, None, None, None, None, None, 0)))

@@ -79,17 +79,32 @@ def make_fit_workload(num_atom=782, n_vox=64, seed=0,
     b = b_values(sch)
     sig_csf = np.exp(-TE / 2.0) * np.exp(-b * 3.0e-9)
 
-    # noiseless ground-truth mixtures through the same interpolator
-    y = np.zeros((n_vox, sch.shape[0]))
+    # noiseless ground-truth mixtures through the same interpolator,
+    # synthesized in one batched device call
+    import jax.numpy as jnp
     gt_ids = rng.randint(0, num_atom, size=(n_vox, 2))
     gt_nu = rng.rand(n_vox, 3) + 0.25
     gt_nu /= gt_nu.sum(axis=1, keepdims=True)
-    for v in range(n_vox):
-        D = mfi.interp_PGSE_from_multishell(sch, peaks[v, 0], msinterp=ms)
-        y[v] = 400 * gt_nu[v, 0] * D[:, gt_ids[v, 0]]
-        D = mfi.interp_PGSE_from_multishell(sch, peaks[v, 1], msinterp=ms)
-        y[v] += 400 * gt_nu[v, 1] * D[:, gt_ids[v, 1]]
-        y[v] += 400 * gt_nu[v, 2] * sig_csf
+    xs, ys_t, cnt = ms.device_tables()
+    dt = xs.dtype
+    gdir_d = jnp.asarray(plan.gdir, dtype=dt)
+    lo_d = jnp.asarray(plan.shell_lo)
+    hi_d = jnp.asarray(plan.shell_hi)
+    wG_d = jnp.asarray(plan.wG, dtype=dt)
+    # chunked synthesis: the rotated dictionary for the whole set would not
+    # fit HBM; gather the ground-truth atom columns on device per chunk
+    cols = np.zeros((n_vox, 2, sch.shape[0]))
+    chunk = 128
+    for st in range(0, n_vox, chunk):
+        en = min(st + chunk, n_vox)
+        D = mfi.eval_rotation_batch(xs, ys_t, cnt, gdir_d, lo_d, hi_d, wG_d,
+                                    jnp.asarray(peaks[st:en], dtype=dt))
+        cols[st:en] = np.asarray(jnp.take_along_axis(
+            D, jnp.asarray(gt_ids[st:en])[:, :, None, None],
+            axis=3)[:, :, :, 0])
+    y = 400 * (gt_nu[:, 0, None] * cols[:, 0]
+               + gt_nu[:, 1, None] * cols[:, 1]
+               + gt_nu[:, 2, None] * sig_csf[None, :])
     return {"sch_mat": sch, "msinterp": ms, "plan": plan, "peaks": peaks,
             "y": y, "sig_csf": sig_csf, "gt_ids": gt_ids, "gt_nu": gt_nu,
             "dictionary": sig}

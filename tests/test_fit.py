@@ -338,3 +338,84 @@ def test_candidates_contain_optimum(rng):
     ind2 = np.asarray(ind2)
     for b in range(B):
         assert np.any(np.all(cand2[b] == ind2[b][None, :], axis=1))
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_pallas_engine_matches_default(rng):
+    """engine='pallas' (fused kernel path, interpret mode on CPU) == the
+    XLA path for the 2-fascicle + CSF configuration."""
+    dic = _make_dictionary(n_atoms=48)
+    sch = dic["sch_mat"]
+    shape = (2, 2, 1)
+    ms = mfi.init_PGSE_multishell_interp(dic["dictionary"], sch,
+                                         dic["orientation"])
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    TE, b = sch[:, 6], b_values(sch)
+    sig_csf = np.exp(-TE / dic["T2_csf"]) * np.exp(-b * dic["DIFF_csf"])
+    data = np.zeros(shape + (sch.shape[0],))
+    peaks = np.zeros(shape + (6,))
+    for v in range(4):
+        ijk = np.unravel_index(v, shape)
+        d1, d2 = rng.randn(3), rng.randn(3)
+        d1 /= np.linalg.norm(d1)
+        d2 /= np.linalg.norm(d2)
+        peaks[ijk][:3], peaks[ijk][3:] = d1, d2
+        a1, a2 = rng.randint(48), rng.randint(48)
+        D1 = mfi.interp_PGSE_from_multishell(sch, d1, msinterp=ms)
+        D2 = mfi.interp_PGSE_from_multishell(sch, d2, msinterp=ms)
+        data[ijk] = (100 * D1[:, a1] + 150 * D2[:, a2] + 80 * sig_csf)
+    model = MFModel(dic)
+    kw = dict(peaks=peaks, pgse_scheme=sch, csf_mask=1, verbose=0,
+              batch_size=4, refine=True, topm=8)
+    f_x = model.fit(data, np.ones(shape), 2, engine="xla", **kw)
+    f_p = model.fit(data, np.ones(shape), 2, engine="pallas", **kw)
+    for p in f_x.param_names:
+        np.testing.assert_allclose(getattr(f_p, p), getattr(f_x, p),
+                                   rtol=1e-6, atol=1e-8, err_msg=p)
+
+
+def test_pallas_rowscan_matches_xla(rng):
+    """Fused Pallas row scan (interpret mode) finds the same optimum as the
+    XLA exhaustive scan, K=2 and K=3 (size-1 third block)."""
+    from microstructure_fingerprinting_tpu.ops import nnls as mfn
+    from microstructure_fingerprinting_tpu.ops import pallas_nnls as pk
+    B, S, N1, N2 = 3, 40, 70, 60
+    A1 = rng.randn(B, S, N1).astype(np.float32)
+    A2 = rng.randn(B, S, N2).astype(np.float32)
+    a3 = rng.randn(B, S, 1).astype(np.float32)
+    y = rng.randn(B, S).astype(np.float32)
+    rr, ri, ysq, yns, an1, an2 = pk.row_scan_2(A1, A2, y, interpret=True)
+    w0, ind0, obj0 = mfn.exhaustive_2_batched(A1, A2, y)
+    cand, vals = pk.candidates_from_rows(jnp_asarray(rr), jnp_asarray(ri), 4)
+    cand = np.asarray(cand)
+    assert np.all(cand[:, 0, 0] == np.asarray(ind0)[:, 0])
+    assert np.all(cand[:, 0, 1] == np.asarray(ind0)[:, 1])
+    rr, ri = pk.row_scan_3(A1, A2, a3, y, interpret=True)[:2]
+    w0, ind0, obj0 = mfn.exhaustive_3_batched(A1, A2, a3, y)
+    cand, vals = pk.candidates_from_rows(jnp_asarray(rr), jnp_asarray(ri), 4)
+    cand = np.asarray(cand)
+    assert np.all(cand[:, 0, 0] == np.asarray(ind0)[:, 0])
+    assert np.all(cand[:, 0, 1] == np.asarray(ind0)[:, 1])
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+    return jnp.asarray(x)
+
+
+def test_grouped_rotation_matches_gather(rng):
+    from microstructure_fingerprinting_tpu import testing as mft
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=16, n_b0=4)
+    sig, _, _ = mft.make_dictionary(sch, num_atom=30)
+    ms = mfi.init_PGSE_multishell_interp(sig, sch, np.array([0.0, 0, 1.0]))
+    plan = mfi.plan_target_scheme(ms, sch)
+    xs, ys, cnt = ms.device_tables()
+    import jax.numpy as jnp
+    nd = rng.randn(5, 2, 3)
+    nd /= np.linalg.norm(nd, axis=2, keepdims=True)
+    rot = mfi.make_grouped_rotation(ms, plan)
+    D_new = np.asarray(rot(ys, jnp.asarray(nd)))
+    D_old = np.asarray(mfi.eval_rotation_batch(
+        xs, ys, cnt, jnp.asarray(plan.gdir), jnp.asarray(plan.shell_lo),
+        jnp.asarray(plan.shell_hi), jnp.asarray(plan.wG), jnp.asarray(nd)))
+    assert np.max(np.abs(D_new - D_old)) < 1e-10
