@@ -10,7 +10,11 @@ existing scripts port with an import change only.
 # SOLVERS (reference registry mf_utils.py:73-79)
 from .ops.nnls import (                                     # noqa: F401
     solve_exhaustive_posweights,
+    solve_exhaustive_posweights_1,
+    solve_exhaustive_posweights_2,
+    solve_exhaustive_posweights_3,
     solve_exhaustive_posweights_4up,
+    lsqnonneg_2var_opt,
     nnls_underdetermined,
     lsqnonneg_1var,
     lsqnonneg_2var,

@@ -22,9 +22,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from ..utils import io as mfio
 from ..utils import nifti
 from ..utils import scheme as schm
+from ..utils import checks
 from ..ops import interp as mfi
 from ..ops import dti
 from . import fit as fit_mod
@@ -48,10 +50,11 @@ def cleanup_2fascicles(frac1, frac2, peakmode, mu1, mu2, mask, frac12=None):
 
     Returns (peaks_out (..., 6), num_fasc_out (...)).
     """
-    ratio = 2.5     # large/small fraction ratio above which small is dropped
-    w_keep = 0.20   # relative weight that always survives
-    w_small = 0.075  # absolute weight below which a fascicle is dropped
-    ang_min = 15    # merge angle [deg]
+    cfg = config.DEFAULTS["cleanup"]
+    ratio = cfg.ratio      # fraction ratio above which the small peak drops
+    w_keep = cfg.w_keep    # relative weight that always survives
+    w_small = cfg.w_small  # absolute weight below which a fascicle drops
+    ang_min = cfg.ang_min_deg  # merge angle [deg]
 
     if (frac1 is None or frac2 is None) and frac12 is None:
         raise ValueError(
@@ -203,10 +206,10 @@ class MFModel(object):
         ``DIFF_ear`` for the optional compartments.
     """
 
-    MAX_FASC = 2          # max fascicles per voxel
-    MAX_PROG_LINES = 100  # progress-print budget
-    DFT_DISP_ITVL = 5     # default progress interval
-    DEFAULT_BATCH = 128   # voxel batch per compiled device step
+    MAX_FASC = config.DEFAULTS["fit"].max_fasc
+    MAX_PROG_LINES = config.DEFAULTS["fit"].max_prog_lines
+    DFT_DISP_ITVL = config.DEFAULTS["fit"].dft_disp_itvl
+    DEFAULT_BATCH = config.DEFAULTS["fit"].batch
 
     def __init__(self, dictionary):
         if isinstance(dictionary, str):
@@ -430,8 +433,18 @@ class MFModel(object):
                    "device-parallel (%d devices)" % len(jax.devices())
                    if mesh is not None else "batched"))
 
+        # degenerate-data guard: voxels with NaN/Inf signals are excluded
+        # (their parameter rows stay zero) instead of poisoning a batch
+        bad_vox = checks.check_finite_signals(y_roi)
+        if bad_vox.any() and VRB >= 1:
+            print("WARNING: %d masked voxel(s) contain NaN/Inf signal "
+                  "values; skipping them (parameter maps stay zero there)."
+                  % int(bad_vox.sum()))
+
         configs = {}
         for i in range(ROI_size):
+            if bad_vox[i]:
+                continue
             key = (int(numfasc_roi[i]), bool(csf_mask_roi[i]),
                    bool(ear_mask_roi[i]))
             if key == (0, False, False):

@@ -868,6 +868,56 @@ def solve_exhaustive_posweights(A, y, dicsizes, printmsg=None):
     return (w, ind_subdic, ind_totdic, min_obj, y_recons)
 
 
+def solve_exhaustive_posweights_1(A, y):
+    """1-sub-dictionary exhaustive NNLS (reference mf_utils.py:218-278
+    signature): returns scalars (w, ind_subdic, ind_totdic, min_obj) plus
+    y_recons, like the Numba kernel."""
+    w, ind, min_obj = exhaustive_1_batched(jnp.asarray(A[np.newaxis]),
+                                           jnp.asarray(y[np.newaxis]))
+    w0 = float(w[0, 0])
+    i0 = int(ind[0, 0])
+    y_recons = w0 * np.asarray(A, dtype=np.float64)[:, i0]
+    return (w0, i0, i0, float(min_obj[0]), y_recons)
+
+
+def solve_exhaustive_posweights_2(A, y, diclengths):
+    """2-sub-dictionary exhaustive NNLS (reference mf_utils.py:284-392
+    signature)."""
+    N1 = int(diclengths[0])
+    w, ind, min_obj = exhaustive_2_batched(
+        jnp.asarray(A[np.newaxis, :, :N1]),
+        jnp.asarray(A[np.newaxis, :, N1:]),
+        jnp.asarray(y[np.newaxis]))
+    w = np.asarray(w[0], dtype=np.float64)
+    ind_subdic = np.asarray(ind[0], dtype=np.int32)
+    ind_totdic = ind_subdic + np.array([0, N1], dtype=np.int32)
+    y_recons = np.asarray(A, dtype=np.float64)[:, ind_totdic] @ w
+    return (w, ind_subdic, ind_totdic, float(min_obj[0]), y_recons)
+
+
+def solve_exhaustive_posweights_3(A, y, diclengths):
+    """3-sub-dictionary exhaustive NNLS (reference mf_utils.py:466-607
+    signature)."""
+    N1, N2 = int(diclengths[0]), int(diclengths[1])
+    w, ind, min_obj = exhaustive_3_batched(
+        jnp.asarray(A[np.newaxis, :, :N1]),
+        jnp.asarray(A[np.newaxis, :, N1:N1 + N2]),
+        jnp.asarray(A[np.newaxis, :, N1 + N2:]),
+        jnp.asarray(y[np.newaxis]))
+    w = np.asarray(w[0], dtype=np.float64)
+    ind_subdic = np.asarray(ind[0], dtype=np.int32)
+    ind_totdic = ind_subdic + np.array([0, N1, N1 + N2], dtype=np.int32)
+    y_recons = np.asarray(A, dtype=np.float64)[:, ind_totdic] @ w
+    return (w, ind_subdic, ind_totdic, float(min_obj[0]), y_recons)
+
+
+def lsqnonneg_2var_opt(y_sq, A11, A12, A22, Y1, Y2):
+    """2-variable NNLS from precomputed scalars (reference
+    mf_utils.py:399-459 signature): returns (w (2,), resnorm)."""
+    w1, w2, res = lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2, xp=np)
+    return np.array([w1, w2], dtype=np.float64), float(res)
+
+
 def solve_exhaustive_posweights_4up(A, y, diclengths):
     """Host combinatorial path for >= 4 sub-dictionaries (reference
     mf_utils.py:612-657): one scipy.optimize.nnls per atom combination,

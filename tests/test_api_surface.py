@@ -94,3 +94,62 @@ def test_gen_sos_mri(rng):
     import jax
     out_j = np.asarray(gen_sos_mri_jax(jax.random.PRNGKey(0), S0, 1.0, N=1))
     assert abs(np.mean(out_j) - np.mean(out)) < 0.05
+
+
+def test_reference_named_solver_entrypoints(rng):
+    """The per-K solver names the reference exports individually resolve and
+    agree with the dispatcher."""
+    from microstructure_fingerprinting_tpu import mf_utils as mfu
+    A = rng.randn(20, 12)
+    y = rng.randn(20)
+    w, i_s, i_t, obj, rec = mfu.solve_exhaustive_posweights(
+        A, y, np.array([12]))
+    w1, is1, it1, obj1, rec1 = mfu.solve_exhaustive_posweights_1(A, y)
+    assert np.isclose(w1, w[0]) and is1 == i_s[0] and np.isclose(obj1, obj)
+    w, i_s, i_t, obj, rec = mfu.solve_exhaustive_posweights(
+        A, y, np.array([5, 7]))
+    w2, is2, it2, obj2, rec2 = mfu.solve_exhaustive_posweights_2(
+        A, y, np.array([5, 7]))
+    assert np.allclose(w2, w) and np.all(is2 == i_s)
+    w, i_s, i_t, obj, rec = mfu.solve_exhaustive_posweights(
+        A, y, np.array([5, 4, 3]))
+    w3, is3, it3, obj3, rec3 = mfu.solve_exhaustive_posweights_3(
+        A, y, np.array([5, 4, 3]))
+    assert np.allclose(w3, w) and np.all(is3 == i_s)
+    wv, rn = mfu.lsqnonneg_2var_opt(2.0, 1.0, 0.1, 1.0, 0.5, 0.3)
+    assert wv.shape == (2,) and rn <= 2.0
+
+
+def test_config_defaults():
+    from microstructure_fingerprinting_tpu import config
+    assert config.DEFAULTS["fit"].max_fasc == 2
+    assert config.DEFAULTS["cleanup"].ratio == 2.5
+    assert config.DEFAULTS["mcf"].max_modes == 60
+    import dataclasses
+    import pytest as _pytest
+    with _pytest.raises(dataclasses.FrozenInstanceError):
+        config.DEFAULTS["fit"].max_fasc = 3
+
+
+def test_nan_voxels_skipped(rng):
+    """NaN-contaminated voxels are excluded instead of poisoning the batch."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.mf import MFModel
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=16, n_b0=4)
+    sig, dpar, _ = mft.make_dictionary(sch, num_atom=24)
+    dic = {"dictionary": sig, "sch_mat": sch,
+           "orientation": np.array([0., 0., 1.]), "num_atom": 24,
+           "num_ear": 0, "fasc_propnames": ["dpar"], "dpar": dpar,
+           "T2_csf": 2.0, "DIFF_csf": 3e-9, "T2_ear": 2.0,
+           "DIFF_ear": np.array([1e-9])}
+    model = MFModel(dic)
+    shape = (3, 1, 1)
+    data = np.abs(rng.rand(*shape, sch.shape[0])) + 0.5
+    data[1, 0, 0, 5] = np.nan
+    d = rng.randn(3); d /= np.linalg.norm(d)
+    peaks = np.tile(d, shape + (1,))
+    fit = model.fit(data, np.ones(shape), 1, peaks=peaks,
+                    pgse_scheme=sch, verbose=0, batch_size=4)
+    assert fit.M0[1, 0, 0] == 0          # skipped
+    assert np.isfinite(fit.M0).all()     # neighbours unaffected
+    assert fit.M0[0, 0, 0] > 0 and fit.M0[2, 0, 0] > 0

@@ -1,0 +1,117 @@
+"""Real-data end-to-end coverage with the C001 fixture set.
+
+The reference repo ships a golden C001 fixture family (10x1x6 DWI, DIAMOND
+tensors/fractions, masks, bvals/bvecs) that its own test suite never
+exercises (SURVEY.md section 4 fixture notes; the generating dictionary is
+not in the repo, so exact map parity is not reproducible). Here the fixtures
+drive the full real-data pipeline: NIfTI loading, cleanup_2fascicles on the
+DIAMOND outputs, and MFModel.fit through the tensors= input pathway and the
+bvals/bvecs pathway with a synthetic dictionary matching the C001 protocol.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import fixture_path, has_fixture
+
+from microstructure_fingerprinting_tpu.utils import nifti
+from microstructure_fingerprinting_tpu.utils.scheme import (
+    get_gyromagnetic_ratio, b_values)
+from microstructure_fingerprinting_tpu.models.mf import (
+    MFModel, cleanup_2fascicles)
+from microstructure_fingerprinting_tpu import testing as mft
+
+C001_OK = all(has_fixture(f) for f in (
+    "C001_dwi_small.nii.gz", "C001_mask_small.nii.gz",
+    "C001_numfasc_small.nii.gz", "C001_bvals", "C001_bvecs",
+    "C001_diamond_small_t0.nii.gz", "C001_diamond_small_t1.nii.gz",
+    "C001_diamond_small_fractions.nii.gz"))
+
+pytestmark = pytest.mark.skipif(not C001_OK,
+                                reason="C001 fixtures unavailable")
+
+
+def _c001_dense_dictionary():
+    """Synthetic dense dictionary matching the C001 protocol's b-shells."""
+    gam = get_gyromagnetic_ratio("H")
+    Delta, delta, TE = 0.035, 0.015, 0.08
+    bvals_si = np.array([700., 1000., 2000., 3000.]) * 1e6
+    Gs = np.sqrt(bvals_si / (Delta - delta / 3)) / (gam * delta)
+    rows = [np.zeros((6, 7))]
+    rows[0][:, 4:7] = [Delta, delta, TE]
+    for G in Gs:
+        sh = np.zeros((48, 7))
+        sh[:, :3] = mft.fibonacci_sphere(48)
+        sh[:, 3] = G
+        sh[:, 4:7] = [Delta, delta, TE]
+        rows.append(sh)
+    sch = np.concatenate(rows, axis=0)
+    sig, rad_like, _ = mft.make_dictionary(sch, num_atom=96)
+    return {
+        "dictionary": sig, "sch_mat": sch,
+        "orientation": np.array([0.0, 0.0, 1.0]),
+        "num_atom": 96, "num_ear": 0,
+        "fasc_propnames": ["dpar"],
+        "dpar": rad_like,
+        "T2_csf": 2.0, "DIFF_csf": 3.0e-9,
+        "T2_ear": 2.0, "DIFF_ear": np.array([1.5e-9]),
+    }
+
+
+def test_cleanup_on_diamond_outputs():
+    """cleanup_2fascicles on real DIAMOND tensors + fractions."""
+    fracs = nifti.load(
+        fixture_path("C001_diamond_small_fractions.nii.gz")).get_fdata()
+    mask = nifti.load(fixture_path("C001_mask_small.nii.gz")).get_fdata()
+    peaks, numfasc = cleanup_2fascicles(
+        None, None, 'tensor',
+        fixture_path("C001_diamond_small_t0.nii.gz"),
+        fixture_path("C001_diamond_small_t1.nii.gz"),
+        fixture_path("C001_mask_small.nii.gz"),
+        frac12=fracs)
+    assert peaks.shape == mask.shape + (6,)
+    assert numfasc.shape == mask.shape
+    assert set(np.unique(numfasc[mask > 0])) <= {0.0, 1.0, 2.0}
+    # peaks are unit vectors or zero
+    nrm = np.linalg.norm(peaks[mask > 0][:, :3], axis=1)
+    assert np.all((np.abs(nrm - 1) < 1e-6) | (nrm < 1e-12))
+    # declared fascicles have non-zero peaks (the fit requires this)
+    in1 = (numfasc >= 1) & (mask > 0)
+    assert np.all(np.linalg.norm(peaks[in1][:, :3], axis=1) > 0.9)
+
+
+def test_fit_c001_real_data_tensor_input():
+    """Full fit on the real C001 DWI: tensors= input + bvals/bvecs scheme.
+
+    The generating dictionary isn't public, so this checks pipeline health
+    (finite maps, sane fractions, R^2 of the model fit) rather than map
+    parity.
+    """
+    dic = _c001_dense_dictionary()
+    fracs = nifti.load(
+        fixture_path("C001_diamond_small_fractions.nii.gz")).get_fdata()
+    peaks, numfasc = cleanup_2fascicles(
+        None, None, 'tensor',
+        fixture_path("C001_diamond_small_t0.nii.gz"),
+        fixture_path("C001_diamond_small_t1.nii.gz"),
+        fixture_path("C001_mask_small.nii.gz"),
+        frac12=fracs)
+    model = MFModel(dic)
+    fit = model.fit(fixture_path("C001_dwi_small.nii.gz"),
+                    fixture_path("C001_mask_small.nii.gz"),
+                    numfasc, peaks=peaks,
+                    bvals=fixture_path("C001_bvals"),
+                    bvecs=fixture_path("C001_bvecs"),
+                    csf_mask=1, verbose=0, batch_size=16)
+    mask = nifti.load(fixture_path("C001_mask_small.nii.gz")).get_fdata()
+    in_mask = mask > 0
+    assert np.isfinite(fit.M0[in_mask]).all()
+    assert np.all(fit.M0[in_mask] >= 0)
+    fr = (fit.frac_f0 + fit.frac_f1 + fit.frac_csf)[in_mask]
+    assert np.all((fr >= -1e-9) & (fr <= 1 + 1e-9))
+    # the affine came from the NIfTI inputs
+    assert fit.affine is not None and fit.affine.shape == (4, 4)
+    # a smooth zeppelin dictionary explains in-vivo WM reasonably well
+    est = fit.R2[in_mask & (numfasc > 0)]
+    assert np.median(est) > 0.7, "median R2 %.3f unexpectedly low" \
+        % np.median(est)
