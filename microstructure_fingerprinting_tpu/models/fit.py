@@ -243,57 +243,56 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
     sig_ear_d = jnp.asarray(sig_ear if ear_on else np.zeros((S, 1)),
                             dtype=dtype)
     gdir, lo, hi, wG = plan
-    C = K + int(csf_on) + int(ear_on)
-    out_w = np.zeros((n, C))
-    out_ind = np.zeros((n, C), dtype=np.int32)
-    out_obj = np.zeros(n)
-    out_mse = np.zeros(n)
-    out_r2 = np.zeros(n)
-    for st in range(0, n, batch):
-        en = min(st + batch, n)
-        m = en - st
-        pk = np.zeros((batch, max(K, 1), 3))
-        yy = np.zeros((batch, S))
-        if K > 0:
-            pk[:m] = peaks[st:en].reshape(m, K, 3)
-        # pad rows replicate the first voxel to keep kernels NaN-free
-        if m < batch:
-            yy[m:] = y[st]
-            if K > 0:
-                pk[m:] = peaks[st].reshape(1, K, 3)
-        yy[:m] = y[st:en]
-        pk_d = jnp.asarray(pk[:, :K] if K > 0 else pk[:, :0], dtype=dtype)
-        yy_d = jnp.asarray(yy, dtype=dtype)
+
+    # One host->device push for the whole bucket, one pull of the stacked
+    # chunk results: host<->device round-trip latency (severe on
+    # remote-attached TPUs) is paid per bucket, not per chunk.
+    n_pad = int(math.ceil(n / batch) * batch)
+    pk_all = np.zeros((n_pad, max(K, 1), 3))
+    y_all = np.zeros((n_pad, S))
+    if K > 0:
+        pk_all[:n] = peaks.reshape(n, K, 3)
+    y_all[:n] = y
+    if n_pad > n:  # pad rows replicate voxel 0 to keep kernels NaN-free
+        pk_all[n:] = pk_all[0]
+        y_all[n:] = y_all[0]
+    pk_d_all = jnp.asarray(pk_all[:, :K] if K > 0 else pk_all[:, :0],
+                           dtype=dtype)
+    y_d_all = jnp.asarray(y_all, dtype=dtype)
+
+    chunks = []
+    for st in range(0, n_pad, batch):
+        pk_d = lax.dynamic_slice_in_dim(pk_d_all, st, batch, axis=0)
+        yy_d = lax.dynamic_slice_in_dim(y_d_all, st, batch, axis=0)
         if mesh is not None:
             pk_d = pmesh.shard_batch(mesh, pk_d)
             yy_d = pmesh.shard_batch(mesh, yy_d)
         if refine:
-            # f32 device scan -> top-M candidates -> exact f64 host re-score
-            from . import refine as refine_mod
-            cand = fit_step_candidates(
+            chunks.append(fit_step_candidates(
                 xs, ys, cnt, gdir, lo, hi, wG, pk_d, yy_d,
                 sig_csf_d, sig_ear_d,
-                K=K, csf_on=bool(csf_on), ear_on=bool(ear_on), M=topm)
-            cand = np.asarray(cand)[:m]
-            w_b, ind_b, obj_b, y_rec = refine_mod.refine_candidates(
-                ms_host, plan_host, pk[:m, :K] if K > 0 else pk[:m, :0],
-                y[st:en].astype(np.float64),
-                np.asarray(sig_csf, dtype=np.float64) if csf_on else None,
-                np.asarray(sig_ear, dtype=np.float64) if ear_on else None,
-                cand, K, bool(csf_on), bool(ear_on))
-            out_w[st:en] = w_b
-            out_ind[st:en] = ind_b
-            out_obj[st:en] = obj_b
-            out_mse[st:en] = obj_b / S
-            out_r2[st:en] = _r2_np(y[st:en].astype(np.float64), y_rec)
-            continue
-        res = fit_step(xs, ys, cnt, gdir, lo, hi, wG,
-                       pk_d, yy_d,
-                       sig_csf_d, sig_ear_d,
-                       K=K, csf_on=bool(csf_on), ear_on=bool(ear_on))
-        out_w[st:en] = np.asarray(res["w"])[:m]
-        out_ind[st:en] = np.asarray(res["ind"])[:m]
-        out_obj[st:en] = np.asarray(res["min_obj"])[:m]
-        out_mse[st:en] = np.asarray(res["mse"])[:m]
-        out_r2[st:en] = np.asarray(res["r2"])[:m]
-    return out_w, out_ind, out_obj, out_mse, out_r2
+                K=K, csf_on=bool(csf_on), ear_on=bool(ear_on), M=topm))
+        else:
+            chunks.append(fit_step(
+                xs, ys, cnt, gdir, lo, hi, wG, pk_d, yy_d,
+                sig_csf_d, sig_ear_d,
+                K=K, csf_on=bool(csf_on), ear_on=bool(ear_on)))
+
+    if refine:
+        # f32 device scan -> top-M candidates -> exact f64 host re-score
+        from . import refine as refine_mod
+        cand = np.asarray(jnp.concatenate(chunks, axis=0))[:n]
+        y64 = y.astype(np.float64)
+        w_b, ind_b, obj_b, y_rec = refine_mod.refine_candidates(
+            ms_host, plan_host,
+            pk_all[:n, :K] if K > 0 else pk_all[:n, :0], y64,
+            np.asarray(sig_csf, dtype=np.float64) if csf_on else None,
+            np.asarray(sig_ear, dtype=np.float64) if ear_on else None,
+            cand, K, bool(csf_on), bool(ear_on))
+        return w_b, ind_b, obj_b, obj_b / S, _r2_np(y64, y_rec)
+
+    stacked = {k: np.asarray(jnp.concatenate([c[k] for c in chunks],
+                                             axis=0))[:n]
+               for k in ("w", "ind", "min_obj", "mse", "r2")}
+    return (stacked["w"], stacked["ind"], stacked["min_obj"],
+            stacked["mse"], stacked["r2"])

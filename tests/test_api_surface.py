@@ -153,3 +153,31 @@ def test_nan_voxels_skipped(rng):
     assert fit.M0[1, 0, 0] == 0          # skipped
     assert np.isfinite(fit.M0).all()     # neighbours unaffected
     assert fit.M0[0, 0, 0] > 0 and fit.M0[2, 0, 0] > 0
+
+
+def test_cli_cleanup(tmp_path, rng):
+    """CLI cleanup subcommand end-to-end with NIfTI files."""
+    from microstructure_fingerprinting_tpu import cli
+    from microstructure_fingerprinting_tpu.utils import nifti
+    shape = (4, 2, 1)
+    aff = np.eye(4)
+    mu1 = np.zeros(shape + (3,)); mu1[..., 0] = 1.0
+    mu2 = np.zeros(shape + (3,)); mu2[..., 2] = 1.0
+    f1 = np.full(shape, 0.5)
+    f2 = np.full(shape, 0.4)
+    paths = {}
+    for name, arr in (("mu1", mu1), ("mu2", mu2), ("f1", f1), ("f2", f2),
+                      ("mask", np.ones(shape))):
+        p = str(tmp_path / (name + ".nii.gz"))
+        nifti.save(nifti.Nifti1Image(arr, aff), p)
+        paths[name] = p
+    rc = cli.main(["cleanup", "--peakmode", "peaks",
+                   "--mu1", paths["mu1"], "--mu2", paths["mu2"],
+                   "--frac1", paths["f1"], "--frac2", paths["f2"],
+                   "--mask", paths["mask"],
+                   "--out", str(tmp_path / "clean.nii.gz")])
+    assert rc == 0
+    pk = nifti.load(str(tmp_path / "clean_peaks.nii.gz")).get_fdata()
+    nf = nifti.load(str(tmp_path / "clean_numfasc.nii.gz")).get_fdata()
+    assert pk.shape == shape + (6,)
+    assert np.all(nf == 2)
