@@ -23,7 +23,7 @@ import numpy as np
 NUM_ATOM = 782
 N_VOX_BATCH = 2048
 N_BATCHES = 2
-CHUNK = 64
+CHUNK = 256
 
 
 def _tpu_throughput(wl):

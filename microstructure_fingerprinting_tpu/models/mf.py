@@ -257,6 +257,10 @@ class MFModel(object):
         ``refine`` selects float64 host re-scoring of the accelerator's
         top-M candidates (default: enabled exactly when jax runs in float32,
         i.e. on TPU, where it restores reference float64 selection quality).
+        ``engine`` picks the device scan: 'pallas' (fused kernel, fastest)
+        resolves residual gaps down to ~1e-7 * ||y||^2 before refinement;
+        'xla' with a larger ``topm`` refines a deeper candidate set; run
+        under JAX_ENABLE_X64=1 for bit-level reference parity.
         Returns an :class:`MFModelFit`.
         """
         VRB = verbose
@@ -469,7 +473,7 @@ class MFModel(object):
                 w, ind, obj, mse, r2 = fit_mod.run_bucket_pallas(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :6], y_roi[idx], sig_csf,
-                    K, has_csf, batch=batch, topm=topm,
+                    K, has_csf, batch=batch_size or 256, topm=topm,
                     interpret=pallas_interpret, rotator=rotator)
             else:
                 w, ind, obj, mse, r2 = fit_mod.run_bucket(

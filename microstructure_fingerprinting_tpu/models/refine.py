@@ -17,16 +17,20 @@ from ..ops import nnls as mfn
 from ..utils import native
 
 
-def interp_columns(ms, plan, newdir, atom_ids):
+def interp_columns(ms, plan, newdir, atom_ids, out=None):
     """Rotated columns in float64, candidate-major (B, M, Nseq): native C++
-    kernel when available (utils/native.py), NumPy otherwise."""
+    kernel when available (utils/native.py), NumPy otherwise. ``out`` lets
+    the caller provide a preallocated destination (no copy)."""
     if native.available():
         return native.interp_columns_f64(
             ms.xs, ms.cnt, ms.ys, plan.gdir, plan.shell_lo, plan.shell_hi,
             plan.wG, np.ascontiguousarray(newdir, np.float64),
-            np.ascontiguousarray(atom_ids, np.int32))
-    return np.ascontiguousarray(
-        interp_columns_np(ms, plan, newdir, atom_ids).transpose(0, 2, 1))
+            np.ascontiguousarray(atom_ids, np.int32), out=out)
+    cols = interp_columns_np(ms, plan, newdir, atom_ids).transpose(0, 2, 1)
+    if out is not None:
+        out[...] = cols
+        return out
+    return np.ascontiguousarray(cols)
 
 
 def interp_columns_np(ms, plan, newdir, atom_ids):
@@ -64,15 +68,14 @@ def interp_columns_np(ms, plan, newdir, atom_ids):
 def _solve_support(cols, y):
     """Exact f64 NNLS over per-candidate column sets.
 
-    cols: list of K arrays (B, M, Nseq) — one selected column per
+    cols: (K, B, M, Nseq) C-contiguous stack — one selected column per
     sub-dictionary per candidate (candidate-major); y: (B, Nseq).
     Returns (w (B, M, K), res (B, M)).
     """
-    K = len(cols)
+    K = cols.shape[0]
     y_sq = np.sum(y * y, axis=1)[:, None]                    # (B, 1)
     if native.available():
-        Gn, Yn = native.candidate_grams_f64(
-            np.ascontiguousarray(np.stack(cols, axis=0)), y)
+        Gn, Yn = native.candidate_grams_f64(cols, y)
         Y = [Yn[i] for i in range(K)]
         G = [[Gn[i, j] for j in range(K)] for i in range(K)]
     else:
@@ -113,18 +116,18 @@ def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
     """
     B, M, C = cand_ids.shape
     y = np.asarray(y, dtype=np.float64)
-    cols = []
-    for k in range(K):
-        cols.append(interp_columns(ms, plan, peaks[:, k, :],
-                                   cand_ids[:, :, k]))
-    c = K
     Nseq = y.shape[1]
+    cols = np.empty((C, B, M, Nseq), dtype=np.float64)
+    for k in range(K):
+        interp_columns(ms, plan, peaks[:, k, :], cand_ids[:, :, k],
+                       out=cols[k])
+    c = K
     if csf_on:
-        cols.append(np.broadcast_to(sig_csf[None, None, :], (B, M, Nseq)))
+        cols[c] = sig_csf[None, None, :]
         c += 1
     if ear_on:
         e_ids = cand_ids[:, :, c]
-        cols.append(np.transpose(sig_ear[:, e_ids], (1, 2, 0)))
+        cols[c] = np.transpose(sig_ear[:, e_ids], (1, 2, 0))
         c += 1
 
     w, res = _solve_support(cols, y)                         # (B, M, C), (B, M)

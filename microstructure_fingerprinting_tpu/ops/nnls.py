@@ -77,8 +77,10 @@ def lsqnonneg_2var(y_sq, A11, A12, A22, Y1, Y2, xp=jnp):
     reference kernel (mf_utils.py:329-380 / 399-459), including its `elif`
     priority order. All arguments broadcast elementwise.
     """
-    w1D = A22 * Y1 - A12 * Y2
-    w2D = A11 * Y2 - A12 * Y1
+    # asarray: scalar (python float) inputs must become 0-d arrays so the
+    # boolean case algebra below works identically under numpy and jnp
+    w1D = xp.asarray(A22 * Y1 - A12 * Y2)
+    w2D = xp.asarray(A11 * Y2 - A12 * Y1)
 
     # Full-support (relaxed) solution
     Det = A11 * A22 - A12 * A12

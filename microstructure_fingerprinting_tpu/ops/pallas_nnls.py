@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import nnls as mfn
 
-_TILE_M = 128
+_TILE_M = 256
 _LANE = 128
 
 

@@ -73,15 +73,19 @@ def available():
     return _load() is not None
 
 
-def interp_columns_f64(xs, cnt, ys, gdir, lo, hi, wg, newdir, atom_ids):
+def interp_columns_f64(xs, cnt, ys, gdir, lo, hi, wg, newdir, atom_ids,
+                       out=None):
     """Native rotated-column interpolation; see mf_native.cpp.
-    Returns (B, M, Nseq) candidate-major columns."""
+    Returns (B, M, Nseq) candidate-major columns (written into ``out``
+    when given, avoiding a copy)."""
     lib = _load()
     assert lib is not None
     B, M = atom_ids.shape
     Nseq = gdir.shape[0]
     S, Kmax, N = ys.shape
-    out = np.empty((B, M, Nseq), dtype=np.float64)
+    if out is None:
+        out = np.empty((B, M, Nseq), dtype=np.float64)
+    assert out.flags["C_CONTIGUOUS"] and out.shape == (B, M, Nseq)
     lib.interp_columns_f64(
         np.ascontiguousarray(xs, np.float64),
         np.ascontiguousarray(cnt, np.int32),
