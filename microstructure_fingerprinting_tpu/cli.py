@@ -18,8 +18,6 @@ workflows end-to-end:
 import argparse
 import sys
 
-import numpy as np
-
 
 def _mask_arg(v):
     """Scalar or path: '1' -> 1 (all voxels), anything else -> file path."""

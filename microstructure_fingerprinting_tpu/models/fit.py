@@ -62,20 +62,9 @@ def fit_step(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
     Returns dict with w (B, C), ind (B, C), min_obj (B,), mse (B,), r2 (B,)
     where C = K + csf_on + ear_on is the number of compartments.
     """
-    B = y.shape[0]
     S = y.shape[1]
-    blocks = []
-    if K > 0:
-        D = mfi.eval_rotation_batch(xs, ys, cnt, gdir, shell_lo, shell_hi,
-                                    wG, peaks)  # (B, K, S, N)
-        blocks.extend(D[:, k] for k in range(K))
-    if csf_on:
-        blocks.append(jnp.broadcast_to(sig_csf[None, :, None], (B, S, 1)))
-    if ear_on:
-        E = sig_ear.shape[1]
-        blocks.append(jnp.broadcast_to(sig_ear[None, :, :], (B, S, E)))
-    if not blocks:
-        raise ValueError("Empty configuration: no compartments to fit.")
+    blocks = _build_blocks(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
+                           peaks, y, sig_csf, sig_ear, K, csf_on, ear_on)
 
     w, ind, min_obj = mfn.exhaustive_nnls_blocks(tuple(blocks), y)
 
@@ -238,7 +227,6 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
         dtype = xs.dtype
     n = y.shape[0]
     S = y.shape[1]
-    E = sig_ear.shape[1] if sig_ear is not None and ear_on else 1
     sig_csf_d = jnp.asarray(sig_csf if csf_on else np.zeros(S), dtype=dtype)
     sig_ear_d = jnp.asarray(sig_ear if ear_on else np.zeros((S, 1)),
                             dtype=dtype)
