@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .. import config
 from ..ops import interp as mfi
 from ..ops import nnls as mfn
 
@@ -169,7 +170,7 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # band of the champion can be exactly-optimal. Group voxels by their own
     # tie depth so an isolated highly-degenerate voxel doesn't force deep
     # re-scoring for the whole bucket.
-    noise = 4e-6  # normalized-residual resolution of the f32 scan
+    noise = config.DEFAULTS["solver"].refine_noise
     y64 = y.astype(np.float64)
     k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1), 1, topm)
     C = 2 + int(csf_on)

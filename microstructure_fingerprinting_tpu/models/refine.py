@@ -52,7 +52,10 @@ def interp_columns_np(ms, plan, newdir, atom_ids):
                     0, (cnt_r - 2)[None])                    # (B, Nseq)
         x0 = xs_r[seq[None, :], j]
         x1 = xs_r[seq[None, :], j + 1]
-        t = (x - x0) / (x1 - x0)                             # (B, Nseq)
+        denom = x1 - x0
+        t = np.where(denom > 0,
+                     (x - x0) / np.where(denom > 0, denom, 1.0),
+                     0.0)                                    # (B, Nseq)
         s_b = np.broadcast_to(s_idx[None, :, None], (B, s_idx.size, M))
         j_b = j[:, :, None]
         a_b = atom_ids[:, None, :]

@@ -63,7 +63,8 @@ void interp_columns_f64(const double* xs, const int32_t* cnt,
                 int64_t j = loj;
                 if (j > n_k - 2) j = n_k - 2;
                 const double x0 = xrow[j], x1 = xrow[j + 1];
-                const double t = (x - x0) / (x1 - x0);
+                const double dx = x1 - x0;
+                const double t = dx > 0.0 ? (x - x0) / dx : 0.0;
                 const double* y0 = ys + (s * Kmax + j) * N;
                 const double* y1 = y0 + N;
                 for (int64_t m = 0; m < M; ++m) {

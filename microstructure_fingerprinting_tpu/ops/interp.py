@@ -32,6 +32,10 @@ from ..utils.scheme import get_gyromagnetic_ratio
 from .math3d import rotate_scheme_mat
 
 _PERP_CLUSTER_TOL = 1e-3  # dot-product width of the near-perpendicular cluster
+_KNOT_MERGE_TOL = 3e-7    # min knot separation: sub-f32-eps gaps (e.g. the
+                          # |g.n| of exactly-opposite directions differing by
+                          # 1 ulp in f64) collapse to zero-width segments
+                          # after the f32 device cast -> 0/0 in the lerp
 
 
 # ---------------------------------------------------------------------------
@@ -45,7 +49,10 @@ def _lerp_eval_np(xs, ys, q):
     """
     j = np.clip(np.searchsorted(xs, q, side="right") - 1, 0, len(xs) - 2)
     x0, x1 = xs[j], xs[j + 1]
-    t = ((q - x0) / (x1 - x0))[:, None]
+    denom = x1 - x0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(denom > 0, (q - x0) / np.where(denom > 0, denom, 1.0),
+                     0.0)[:, None]
     return ys[j] + t * (ys[j + 1] - ys[j])
 
 
@@ -57,6 +64,11 @@ def _build_shell_knots(dot, sig_rows):
     """
     xs, first_idx = np.unique(dot, return_index=True)
     ys = sig_rows[first_idx, :]
+    # merge knots closer than the f32 resolution (keep-first, like unique)
+    if xs.size > 1:
+        keep = np.concatenate(([True], np.diff(xs) > _KNOT_MERGE_TOL))
+        xs = xs[keep]
+        ys = ys[keep]
     almost_perp = np.abs(xs - xs[0]) < _PERP_CLUSTER_TOL
     cluster_size = int(np.sum(almost_perp))
     if cluster_size > 1:
@@ -284,7 +296,9 @@ def _shell_lerp(xs, ys, cnt, s_idx, x):
     j = j.astype(jnp.int32)
     x0 = jnp.take_along_axis(xs_r, j[:, None], axis=1)[:, 0]
     x1 = jnp.take_along_axis(xs_r, j[:, None] + 1, axis=1)[:, 0]
-    t = (x - x0) / (x1 - x0)
+    denom = x1 - x0
+    t = jnp.where(denom > 0, (x - x0) / jnp.where(denom > 0, denom, 1.0),
+                  0.0)
     y0 = ys[s_idx, j]                      # (Q, N)
     y1 = ys[s_idx, j + 1]
     return y0 + t[:, None] * (y1 - y0)
@@ -362,7 +376,9 @@ def make_grouped_rotation(msinterp, plan):
                          0, int(cnt_h[s]) - 2).astype(jnp.int32)
             x0 = xs_s[j]
             x1 = xs_s[j + 1]
-            t = (xq - x0) / (x1 - x0)
+            denom = x1 - x0
+            t = jnp.where(denom > 0,
+                          (xq - x0) / jnp.where(denom > 0, denom, 1.0), 0.0)
             W = ((1.0 - t)[..., None] * (kiota == j[..., None])
                  + t[..., None] * (kiota == (j[..., None] + 1)))
             outs[role].append(jnp.einsum(

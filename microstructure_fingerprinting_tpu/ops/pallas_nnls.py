@@ -31,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import nnls as mfn
 
-_TILE_M = 256
+from .. import config as _config
+
+_TILE_M = _config.DEFAULTS["solver"].tile_n1 * 2  # 256: MXU-friendly
 _LANE = 128
 
 
@@ -39,7 +41,7 @@ def _round_up(x, m):
     return int(math.ceil(x / m) * m)
 
 
-_SEGMENTS = 4  # per-row i2 segments -> candidate diversity for refinement
+_SEGMENTS = _config.DEFAULTS["solver"].segments  # per-row i2 segments
 
 
 def _row_min_argmin(res, n2):
