@@ -455,10 +455,14 @@ class MFModel(object):
                 continue  # stays all-zero (reference mf.py:387-388)
             configs.setdefault(key, []).append(i)
 
-        # fused Pallas fast path: 2-fascicle (+CSF) configs on TPU
+        # fused Pallas fast path: 2-fascicle (+CSF) configs on TPU.
+        # The kernel holds the full second sub-dictionary (S x N2) plus one
+        # atom tile in VMEM; beyond ~1500 atoms fall back to the tiled XLA
+        # scan, which streams both axes.
         use_pallas = (engine == "pallas"
                       or (engine == "auto" and refine and mesh is None
-                          and jax.default_backend() == "tpu"))
+                          and jax.default_backend() == "tpu"
+                          and num_seq * self.num_atom * 4 < 4 * 2 ** 20))
         pallas_interpret = jax.default_backend() != "tpu"
         rotator = None
         if use_pallas and any(k[0] == 2 and not k[2] for k in configs):

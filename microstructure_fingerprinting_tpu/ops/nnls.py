@@ -357,7 +357,7 @@ def _scan_tiles_2(A1p, A2, a11p, a22, Y1p, Y2, y_sq, N1, tile):
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), A2.dtype),
             jnp.zeros((B,), A2.dtype))
-    (best, _) = lax.scan(body, init, jnp.arange(n_tiles))[0], None
+    best, _ = lax.scan(body, init, jnp.arange(n_tiles))
     return best
 
 

@@ -15,7 +15,6 @@ Two parallel axes are exposed:
     argmin, preserving the reference's tie-breaking.
 """
 
-from functools import partial
 
 import numpy as np
 import jax
