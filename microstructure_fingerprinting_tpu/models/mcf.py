@@ -33,6 +33,16 @@ import jax.numpy as jnp
 from ..utils.scheme import (import_PGSE_scheme, load_scheme_text,
                             get_gyromagnetic_ratio)
 
+
+def _mcf_device():
+    """Complex matrix exponentials are unimplemented on some TPU runtimes;
+    the MCF simulator is a host-side dictionary-generation tool working on
+    tiny (<=60x60) matrices, so pin it to the CPU backend when present."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return jax.devices()[0]
+
 _MAX_MODES = 60   # matches the reference's truncation (mcf.py:326)
 _BASIS_CACHE = {}
 
@@ -315,10 +325,11 @@ def MCF_PGSE(domain, L, diff, *,
     Gperp, Gpar = _perp_par_components(gdirall, Gall, envdir)
     p_over_T = np.full(n_seq, diff / L ** 2)
     q_over_T = gamma * L * Gperp
-    blocks = _mcf_encode_block(jnp.asarray(Lamvec), jnp.asarray(B),
-                               jnp.asarray(p_over_T), jnp.asarray(q_over_T),
-                               jnp.asarray(delall), jnp.asarray(Delall
-                                                                - delall))
+    dev = _mcf_device()
+    put = lambda a: jax.device_put(np.asarray(a), dev)
+    blocks = _mcf_encode_block(put(Lamvec), put(B), put(p_over_T),
+                               put(q_over_T), put(delall),
+                               put(Delall - delall))
     Eperp = np.abs(np.asarray(blocks[:, 0, 0]))
     bpar = (gamma * delall * Gpar) ** 2 * (Delall - delall / 3)
     E = Eperp * np.exp(-bpar * diff)
@@ -403,16 +414,18 @@ def MCF_DDE(domain, L, diff, scheme,
     Gperp1, Gpar1 = _perp_par_components(gdir1, Gall1, envdir)
     Gperp2, Gpar2 = _perp_par_components(gdir2, Gall2, envdir)
     p_over_T = np.full(n_seq, diff / L ** 2)
-    Lam_d = jnp.asarray(Lamvec)
-    B_d = jnp.asarray(B)
-    R1 = _mcf_encode_block(Lam_d, B_d, jnp.asarray(p_over_T),
-                           jnp.asarray(gamma * L * Gperp1),
-                           jnp.asarray(del1), jnp.asarray(Del1 - del1))
-    R2 = _mcf_encode_block(Lam_d, B_d, jnp.asarray(p_over_T),
-                           jnp.asarray(gamma * L * Gperp2),
-                           jnp.asarray(del2), jnp.asarray(Del2 - del2))
+    dev = _mcf_device()
+    put = lambda a: jax.device_put(np.asarray(a), dev)
+    Lam_d = put(Lamvec)
+    B_d = put(B)
+    R1 = _mcf_encode_block(Lam_d, B_d, put(p_over_T),
+                           put(gamma * L * Gperp1),
+                           put(del1), put(Del1 - del1))
+    R2 = _mcf_encode_block(Lam_d, B_d, put(p_over_T),
+                           put(gamma * L * Gperp2),
+                           put(del2), put(Del2 - del2))
     mix = np.exp(-Lamvec[None, :] * (diff / L ** 2) * tau[:, None])
-    R = jnp.einsum('nij,nj,njk->nik', R2, jnp.asarray(mix), R1)
+    R = jnp.einsum('nij,nj,njk->nik', R2, put(mix), R1)
     Eperp = np.abs(np.asarray(R[:, 0, 0]))
     bpar = ((gamma * del1 * Gpar1) ** 2 * (Del1 - del1 / 3)
             + (gamma * del2 * Gpar2) ** 2 * (Del2 - del2 / 3))
