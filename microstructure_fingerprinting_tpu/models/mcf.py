@@ -23,7 +23,7 @@ domains expose their eigenbasis and the truncation-accuracy guard.
 """
 
 import numpy as np
-from scipy.special import jnp_zeros, spherical_jn, j0, j1, jv
+from scipy.special import jnp_zeros, spherical_jn, jv
 from scipy.optimize import brentq
 from scipy.integrate import fixed_quad
 

@@ -8,7 +8,7 @@ the real workloads (552 sequences, ~800 atoms; see SURVEY.md section 6).
 
 import numpy as np
 
-from .utils.scheme import get_gyromagnetic_ratio, b_values
+from .utils.scheme import b_values
 from .ops import interp as mfi
 
 

@@ -432,3 +432,20 @@ def test_grouped_rotation_matches_gather(rng):
         xs, ys, cnt, jnp.asarray(plan.gdir), jnp.asarray(plan.shell_lo),
         jnp.asarray(plan.shell_hi), jnp.asarray(plan.wG), jnp.asarray(nd)))
     assert np.max(np.abs(D_new - D_old)) < 1e-10
+
+
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_parallel_with_refine(rng):
+    """Sharded fit with float64 refinement == serial refined fit (the TPU
+    default combination when parallel=True)."""
+    dic = _make_dictionary(n_atoms=48)
+    data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
+        dic, rng)
+    model = MFModel(dic)
+    kw = dict(peaks=peaks, pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+              ear_mask=ear_mask, verbose=0, batch_size=8, refine=True)
+    f1 = model.fit(data, mask, numfasc, **kw)
+    f2 = model.fit(data, mask, numfasc, parallel=True, **kw)
+    for p in f1.param_names:
+        np.testing.assert_allclose(getattr(f2, p), getattr(f1, p),
+                                   rtol=1e-9, atol=1e-8, err_msg=p)
