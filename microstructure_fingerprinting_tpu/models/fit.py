@@ -148,6 +148,9 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     pk_d = jnp.asarray(pk_all, dtype=dt)
     y_d = jnp.asarray(y_all, dtype=dt)
 
+    # dispatch ALL device work up front (async); results are pulled in
+    # chunk groups so the host's float64 refinement overlaps with device
+    # compute of later groups
     cands_d, vals_d = [], []
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
@@ -163,38 +166,50 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         cand2, vals2 = pk_mod.candidates_from_rows(rows[0], rows[1], topm)
         cands_d.append(cand2)
         vals_d.append(vals2)
-    cand = np.asarray(jnp.concatenate(cands_d, axis=0))[:n]
-    vals = np.asarray(jnp.concatenate(vals_d, axis=0))[:n]
 
-    # adaptive refinement depth: only candidates within the f32 scan's noise
-    # band of the champion can be exactly-optimal. Group voxels by their own
-    # tie depth so an isolated highly-degenerate voxel doesn't force deep
-    # re-scoring for the whole bucket.
     noise = config.DEFAULTS["solver"].refine_noise
     y64 = y.astype(np.float64)
-    k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1), 1, topm)
     C = 2 + int(csf_on)
     w_b = np.zeros((n, C))
     ind_b = np.zeros((n, C), np.int32)
     obj_b = np.zeros(n)
     r2_b = np.zeros(n)
-    lo_k = 1
-    for hi_k in (1, 2, 4, 8, topm):
-        sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
-        lo_k = hi_k + 1
-        if sel.size == 0:
-            continue
-        cand_g = cand[sel, :hi_k]
-        if csf_on:
-            cand_g = np.concatenate(
-                [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)], axis=2)
-        w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
-            ms_host, plan_host, pk_all[sel], y64[sel],
-            sig_csf64, None, cand_g, 2, bool(csf_on), False)
-        w_b[sel] = w_g
-        ind_b[sel] = ind_g
-        obj_b[sel] = obj_g
-        r2_b[sel] = _r2_np(y64[sel], y_rec)
+
+    group = 4  # chunks pulled + refined together
+    for g0 in range(0, len(cands_d), group):
+        g1 = min(g0 + group, len(cands_d))
+        g_st = g0 * batch
+        g_en = min(g1 * batch, n)
+        if g_st >= n:
+            break
+        m = g_en - g_st
+        cand = np.asarray(jnp.concatenate(cands_d[g0:g1], axis=0))[:m]
+        vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
+
+        # adaptive refinement depth: only candidates within the f32 scan's
+        # noise band of the champion can be exactly-optimal. Group voxels by
+        # their own tie depth so an isolated highly-degenerate voxel doesn't
+        # force deep re-scoring for the whole group.
+        k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1), 1, topm)
+        lo_k = 1
+        for hi_k in (1, 2, 4, 8, topm):
+            sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
+            lo_k = hi_k + 1
+            if sel.size == 0:
+                continue
+            gsel = g_st + sel
+            cand_g = cand[sel, :hi_k]
+            if csf_on:
+                cand_g = np.concatenate(
+                    [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)],
+                    axis=2)
+            w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
+                ms_host, plan_host, pk_all[gsel], y64[gsel],
+                sig_csf64, None, cand_g, 2, bool(csf_on), False)
+            w_b[gsel] = w_g
+            ind_b[gsel] = ind_g
+            obj_b[gsel] = obj_g
+            r2_b[gsel] = _r2_np(y64[gsel], y_rec)
     return w_b, ind_b, obj_b, obj_b / S, r2_b
 
 
