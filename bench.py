@@ -22,7 +22,7 @@ import numpy as np
 
 NUM_ATOM = 782
 N_VOX_BATCH = 2048
-N_BATCHES = 2
+N_BATCHES = 3
 CHUNK = 256
 
 
@@ -47,11 +47,14 @@ def _tpu_throughput(wl):
                                  interpret=interpret, rotator=rotator)
 
     step()  # compile + warm
-    t0 = time.time()
+    times = []
+    out = None
     for _ in range(N_BATCHES):
+        t0 = time.time()
         out = step()
-    dt_s = time.time() - t0
-    vox_per_s = N_BATCHES * N_VOX_BATCH / dt_s
+        times.append(time.time() - t0)
+    # median batch time: robust to shared-host / tunnel jitter
+    vox_per_s = N_VOX_BATCH / float(np.median(times))
     return vox_per_s, out
 
 

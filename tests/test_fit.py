@@ -449,3 +449,31 @@ def test_parallel_with_refine(rng):
     for p in f1.param_names:
         np.testing.assert_allclose(getattr(f2, p), getattr(f1, p),
                                    rtol=1e-9, atol=1e-8, err_msg=p)
+
+
+def test_fit_csf_ear_only_volume(rng):
+    """maxfasc=0 volume (CSF-only and EAR-only voxels) fits exactly."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=12, n_b0=4)
+    sig, dpar, _ = mft.make_dictionary(sch, num_atom=16)
+    dic = {"dictionary": sig, "sch_mat": sch,
+           "orientation": np.array([0., 0., 1.]), "num_atom": 16,
+           "num_ear": 2, "fasc_propnames": ["dpar"], "dpar": dpar,
+           "T2_csf": 2.0, "DIFF_csf": 3e-9, "T2_ear": 1.5,
+           "DIFF_ear": np.array([1.0e-9, 0.5e-9])}
+    model = MFModel(dic)
+    TE, b = sch[:, 6], b_values(sch)
+    shape = (2, 1, 1)
+    data = np.zeros(shape + (sch.shape[0],))
+    data[0, 0, 0] = 120 * np.exp(-TE / 2.0) * np.exp(-b * 3e-9)
+    data[1, 0, 0] = 80 * np.exp(-TE / 1.5) * np.exp(-b * 0.5e-9)
+    fit = model.fit(data, np.ones(shape), 0, peaks=np.zeros(shape + (0,)),
+                    pgse_scheme=sch, csf_mask=np.array([[[1]], [[0]]]),
+                    ear_mask=np.array([[[0]], [[1]]]), verbose=0,
+                    batch_size=2)
+    assert np.isclose(fit.frac_csf[0, 0, 0], 1.0)
+    assert np.isclose(fit.M0[0, 0, 0], 120.0)
+    assert np.isclose(fit.frac_ear[1, 0, 0], 1.0)
+    assert np.isclose(fit.D_ear[1, 0, 0], 0.5e-9)
+    assert fit.MSE.max() < 1e-10
