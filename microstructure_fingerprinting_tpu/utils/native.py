@@ -21,7 +21,21 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native", "mf_native.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "mf_native.so")
+
+
+def _so_path():
+    """Build next to the source when writable, else in a user cache dir
+    (installed site-packages are often read-only)."""
+    src_dir = os.path.dirname(_SRC)
+    if os.access(src_dir, os.W_OK):
+        return os.path.join(src_dir, "mf_native.so")
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "microstructure_fingerprinting_tpu")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "mf_native.so")
+
+
+_SO = _so_path()
 
 
 def _compile():
