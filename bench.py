@@ -22,7 +22,7 @@ import numpy as np
 
 NUM_ATOM = 782
 N_VOX_BATCH = 2048
-N_BATCHES = 3
+N_BATCHES = 5
 CHUNK = 256
 
 
