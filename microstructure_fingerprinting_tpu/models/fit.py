@@ -185,6 +185,11 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         m = g_en - g_st
         cand = np.asarray(jnp.concatenate(cands_d[g0:g1], axis=0))[:m]
         vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
+        # +inf candidates (padded rows of tiny dictionaries reaching the
+        # top-M pool) carry padded i1 indices — clamp them into range; their
+        # residuals keep them from winning the f64 re-score
+        n_atom = tables_ys.shape[2]
+        cand = np.clip(cand, 0, n_atom - 1)
 
         # adaptive refinement depth: only candidates within the f32 scan's
         # noise band of the champion can be exactly-optimal. Group voxels by

@@ -41,7 +41,14 @@ def _mcf_device():
     try:
         return jax.devices("cpu")[0]
     except RuntimeError:
-        return jax.devices()[0]
+        dev = jax.devices()[0]
+        if dev.platform == "tpu":
+            raise RuntimeError(
+                "The MCF simulator needs complex matrix exponentials, which "
+                "this TPU runtime does not implement, and no CPU backend is "
+                "available to fall back to. Run MCF_PGSE/MCF_DDE in a "
+                "process with a CPU backend (e.g. JAX_PLATFORMS=cpu,tpu).")
+        return dev
 
 _MAX_MODES = 60   # matches the reference's truncation (mcf.py:326)
 _BASIS_CACHE = {}
@@ -350,7 +357,7 @@ def import_DDE_scheme(schemefile):
     if sch_mat.ndim == 1:
         sch_mat = sch_mat[np.newaxis, :]
     if sch_mat.shape[1] != 14:
-        raise RuntimeError("Detected %s instead of expected 14 colums in"
+        raise RuntimeError("Detected %s instead of expected 14 columns in"
                            " PGSE scheme matrix." % sch_mat.shape[1])
     for (st, blk) in ((0, "first"), (7, "second")):
         gn = np.sqrt(np.sum(sch_mat[:, st:st + 3] ** 2, axis=1))

@@ -60,7 +60,7 @@ def cleanup_2fascicles(frac1, frac2, peakmode, mu1, mu2, mask, frac12=None):
         raise ValueError(
             "If fractions of first and second fascicles set to None,"
             " argument frac12 is required to specify both fractions"
-            " simultanously. A total of 6 arguments should be passed,"
+            " simultaneously. A total of 6 arguments should be passed,"
             " not 5.")
 
     mask, _ = _load_volume(mask)
@@ -468,11 +468,19 @@ class MFModel(object):
         if use_pallas and any(k[0] == 2 and not k[2] for k in configs):
             rotator = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
 
+        # progress cadence contract (reference mf.py:948-949, 455-460):
+        # at verbose >= 3, one line every `disp_int` voxels, at most
+        # ~MAX_PROG_LINES lines total
+        disp_int = int(ROI_size / min(ROI_size / MFModel.DFT_DISP_ITVL,
+                                      MFModel.MAX_PROG_LINES)
+                       ) if ROI_size > 0 else 1
+        vox_done = 0
         for (K, has_csf, has_ear), idx_list in sorted(configs.items()):
             idx = np.asarray(idx_list)
             if VRB >= 3:
                 print("Config K=%d csf=%d ear=%d: %d voxel(s)"
                       % (K, has_csf, has_ear, idx.size))
+            st_bucket = time.time()
             if use_pallas and K == 2 and not has_ear:
                 w, ind, obj, mse, r2 = fit_mod.run_bucket_pallas(
                     self.ms_interpolator, plan_h, tables[1],
@@ -488,6 +496,15 @@ class MFModel(object):
                     K, has_csf, has_ear, batch=batch, mesh=mesh,
                     refine=refine, ms_host=self.ms_interpolator,
                     plan_host=plan_h, topm=topm)
+            if VRB >= 3:
+                t_vox = (time.time() - st_bucket) / max(idx.size, 1)
+                hits = np.arange(vox_done, vox_done + idx.size)
+                for j in hits[hits % disp_int == 0]:
+                    print("Voxel %d/%d (%d fasc%s%s) estimated in %g sec."
+                          % (j + 1, ROI_size, K,
+                             ", CSF comp" if has_csf else "",
+                             ", EAR comp" if has_ear else "", t_vox))
+            vox_done += idx.size
             M0 = np.sum(w, axis=1)
             nu = np.where(np.abs(M0)[:, None] > 0, w /
                           np.where(np.abs(M0)[:, None] > 0,
@@ -618,7 +635,7 @@ class MFModel(object):
             nii_affine = img.affine
         flag_mask = np.asarray(flag_mask)
         if flag_mask.shape != img_shape:
-            raise ValueError("Arg. %s incomptabible. Based on data,"
+            raise ValueError("Arg. %s incompatible. Based on data,"
                              " it should have shape (%s), detected (%s)"
                              " instead." %
                              (name,

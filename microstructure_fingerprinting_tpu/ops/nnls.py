@@ -41,8 +41,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-import scipy.optimize
-from itertools import product
+import warnings
+from itertools import islice
 
 # Tolerance for Cramer sign tests in the 3-variable solver
 # (reference mf_utils.py:480-482).
@@ -921,47 +921,86 @@ def lsqnonneg_2var_opt(y_sq, A11, A12, A22, Y1, Y2):
 
 
 def solve_exhaustive_posweights_4up(A, y, diclengths):
-    """Host combinatorial path for >= 4 sub-dictionaries (reference
-    mf_utils.py:612-657): one scipy.optimize.nnls per atom combination,
-    streamed via itertools.product to stay memory-lean."""
+    """Host combinatorial path for >= 4 sub-dictionaries (same contract as
+    reference mf_utils.py:612-657, which runs one scipy.optimize.nnls per
+    atom combination; here combinations are solved in vectorized chunks)."""
     return _solve_exhaustive_posweights_general(A, y, diclengths)
 
 
-def _solve_exhaustive_posweights_general(A, y, diclengths):
-    N_LSC = diclengths.size
-    end_ind = np.cumsum(diclengths)
-    st_ind = np.zeros(diclengths.size, dtype=np.int64)
-    st_ind[1:] = end_ind[:-1]
-    Nsubprob = np.prod(diclengths)
-    idx_range = tuple(np.arange(diclengths[i]) for i in range(len(diclengths)))
+def _solve_exhaustive_posweights_general(A, y, diclengths, chunk=2048):
+    """General K-sub-dictionary exhaustive NNLS (host, vectorized).
 
-    w_nneg = np.zeros(N_LSC)
-    ind_atoms_subdic = np.zeros(N_LSC, dtype=np.int64)
-    y_sq = np.sum(y ** 2)
-    min_obj = y_sq
+    Covers the K > 4 dispatch branch (reference mf_utils.py:612-657 calls
+    scipy.optimize.nnls once per atom combination; here whole chunks of
+    combinations are solved at once). Uses the support-enumeration identity:
+    the NNLS optimum over K columns equals the minimum over the 2^K - 1
+    non-empty supports S of the unconstrained least-squares solution on S,
+    restricted to solutions with non-negative weights. Each support is a
+    batched ``np.linalg.solve`` on the (chunk, |S|, |S|) Gram stack.
+    Combination order is lexicographic (i1-major) and improvement is strict,
+    so tie-breaking matches itertools.product + ``<``.
+    """
+    K = diclengths.size
+    starts = np.concatenate([[0], np.cumsum(diclengths)[:-1]]).astype(np.int64)
+    y_sq = float(y @ y)
 
-    cnt = 0
-    for idx in product(*idx_range):
-        cnt += 1
-        Asmall = A[:, st_ind + idx]
-        w, obj_fun_sqrt = scipy.optimize.nnls(Asmall, y)
-        obj_fun = obj_fun_sqrt * obj_fun_sqrt
-        if obj_fun < min_obj:
-            w_nneg = w
-            min_obj = obj_fun
-            ind_atoms_subdic = np.atleast_1d(idx)
-    assert Nsubprob == cnt, "Problem with number of NNLS subproblems solved"
-    ind_atoms_totdic = st_ind + ind_atoms_subdic
-    y_recons = np.dot(A[:, ind_atoms_totdic], w_nneg)
-    return (w_nneg, ind_atoms_subdic, ind_atoms_totdic, min_obj, y_recons)
+    best_obj = y_sq
+    best_w = np.zeros(K)
+    best_combo = np.zeros(K, dtype=np.int64)
+
+    supports = [np.flatnonzero([m >> i & 1 for i in range(K)])
+                for m in range(1, 1 << K)]
+
+    combo_iter = np.ndindex(*diclengths)  # lexicographic = product order
+    while True:
+        combos = np.array(list(islice(combo_iter, chunk)), dtype=np.int64)
+        if combos.size == 0:
+            break
+        n = combos.shape[0]
+        cols = A[:, combos + starts[None, :]]          # (S, n, K)
+        G = np.einsum("snk,snl->nkl", cols, cols)      # (n, K, K)
+        b = np.einsum("snk,s->nk", cols, y)            # (n, K)
+
+        obj = np.full(n, y_sq)
+        w_opt = np.zeros((n, K))
+        for S in supports:
+            GS = G[:, S[:, None], S[None, :]]
+            bS = b[:, S]
+            ok = np.abs(np.linalg.det(GS)) > (_EPS * 100) ** len(S)
+            GS_safe = np.where(ok[:, None, None], GS, np.eye(len(S)))
+            wS = np.linalg.solve(GS_safe, bS[:, :, None])[:, :, 0]
+            feas = ok & np.all(wS >= 0, axis=1) & np.all(np.isfinite(wS),
+                                                         axis=1)
+            # full quadratic form: robust to inexact solves on
+            # near-collinear supports
+            r = (y_sq - 2 * np.einsum("nk,nk->n", wS, bS)
+                 + np.einsum("nk,nkl,nl->n", wS, GS, wS))
+            r = np.where(feas, r, np.inf)
+            upd = r < obj
+            if np.any(upd):
+                obj[upd] = r[upd]
+                w_full = np.zeros((int(upd.sum()), K))
+                w_full[:, S] = wS[upd]
+                w_opt[upd] = w_full
+        j = int(np.argmin(obj))                        # first minimum
+        if obj[j] < best_obj:
+            best_obj = float(obj[j])
+            best_w = w_opt[j]
+            best_combo = combos[j]
+
+    totdic = starts + best_combo
+    y_recons = A[:, totdic] @ best_w
+    return (best_w, best_combo, totdic, best_obj, y_recons)
 
 
-def nnls_underdetermined(X, y):
+def nnls_underdetermined(X, y, max_outer=None):
     """Active-set NNLS for wide ("underdetermined") systems.
 
     Lawson-Hanson/FNNLS-style algorithm matching the reference
     (mf_utils.py:663-760). Returns (x, PP, w): non-negative solution, passive
     set indices, and the gradient-based optimality vector A'y - A'Ax.
+    ``max_outer`` caps the outer active-set passes (default 30 * n); hitting
+    the cap emits a RuntimeWarning and returns the current feasible iterate.
     """
     (m, n) = X.shape
     Xty = np.dot(X.T, y)
@@ -969,7 +1008,8 @@ def nnls_underdetermined(X, y):
     # the row rank (wide systems), where the reference's fixed 10*eps can
     # cycle on numerically-singular normal equations.
     tol = 10 * _EPS * max(np.linalg.norm(X, 1), 1.0) * max(m, n)
-    max_outer = 30 * n
+    if max_outer is None:
+        max_outer = 30 * n
 
     S = np.zeros(n, np.int8)  # 1 = passive (positive), 0 = active (zero)
     PP = np.zeros(0, dtype=np.int64)
@@ -1010,4 +1050,10 @@ def nnls_underdetermined(X, y):
             PP = _solve_passive()
         x[:] = z
         w = Xty - np.dot(X.T, np.dot(X[:, PP], x[PP]))
+    if outer >= max_outer:
+        warnings.warn(
+            "nnls_underdetermined hit its iteration cap (%d outer passes) "
+            "before reaching optimality; the returned solution is feasible "
+            "but may be suboptimal (ill-conditioned or cycling system)."
+            % max_outer, RuntimeWarning)
     return x, PP, w

@@ -61,6 +61,10 @@ def _row_min_argmin(res, n2):
         r_q = jnp.where(inseg, res, jnp.inf)
         rmin = jnp.min(r_q, axis=1, keepdims=True)
         idx = jnp.min(jnp.where(r_q == rmin, col, N2p), axis=1)
+        # fully-padded segments: rmin=+inf matches every padded lane and the
+        # arg lands on a padded column; pin it to 0 so downstream gathers
+        # (float64 refine, native kernel) never see an out-of-range atom id
+        idx = jnp.where(jnp.isfinite(rmin[:, 0]), idx, 0)
         mins.append(rmin[:, 0])
         idxs.append(idx.astype(jnp.int32))
     return jnp.stack(mins, axis=1), jnp.stack(idxs, axis=1)

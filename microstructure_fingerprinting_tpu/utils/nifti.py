@@ -168,13 +168,13 @@ class NiftiImage(object):
         data = self.dataobj.astype(np.float64)
         slope = float(self.header.get("scl_slope", 0.0) or 0.0)
         inter = float(self.header.get("scl_inter", 0.0) or 0.0)
-        if np.isnan(slope):
-            slope = 0.0
+        if np.isnan(slope) or slope == 0.0:
+            # nibabel semantics: slope 0/NaN means "no scaling stored" and
+            # the intercept is ignored entirely.
+            return data
         if np.isnan(inter):
             inter = 0.0
-        if slope not in (0.0, 1.0) or inter != 0.0:
-            if slope == 0.0:
-                slope = 1.0
+        if slope != 1.0 or inter != 0.0:
             data = data * slope + inter
         return data
 

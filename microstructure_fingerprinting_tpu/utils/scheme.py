@@ -70,7 +70,7 @@ def import_PGSE_scheme(scheme):
     if sch_mat.ndim == 1:
         sch_mat = sch_mat[np.newaxis, :]
     if sch_mat.shape[1] != 7:
-        raise RuntimeError("Detected %s instead of expected 7 colums in"
+        raise RuntimeError("Detected %s instead of expected 7 columns in"
                            " PGSE scheme matrix." % sch_mat.shape[1])
     grad_norm = np.sqrt(np.sum(sch_mat[:, :3] ** 2, axis=1))
     num_bad_norms = np.sum(np.abs(1 - grad_norm[grad_norm > 0]) > 1e-4)

@@ -38,6 +38,22 @@ def test_stage_timer():
     assert totals["work"] > 0
 
 
+def test_nifti_slope_zero_means_no_scaling():
+    """nibabel semantics: scl_slope of 0 (or NaN) disables scaling entirely,
+    including the intercept (ADVICE round 1)."""
+    from microstructure_fingerprinting_tpu.utils import nifti
+    data = np.arange(6.0).reshape(2, 3)
+    img = nifti.NiftiImage(data, np.eye(4),
+                           header={"scl_slope": 0.0, "scl_inter": 5.0})
+    assert np.array_equal(img.get_fdata(), data)
+    img = nifti.NiftiImage(data, np.eye(4),
+                           header={"scl_slope": np.nan, "scl_inter": 5.0})
+    assert np.array_equal(img.get_fdata(), data)
+    img = nifti.NiftiImage(data, np.eye(4),
+                           header={"scl_slope": 2.0, "scl_inter": 1.0})
+    assert np.array_equal(img.get_fdata(), data * 2.0 + 1.0)
+
+
 def test_loadmat_nested_structs():
     if not has_fixture("MC_dictionary_hcp.mat"):
         import pytest

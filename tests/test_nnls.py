@@ -108,7 +108,8 @@ def test_synthetic_data(rng):
     assert obj < 1e-9 * np.sum(Y[:, 0] ** 2)
 
 
-@pytest.mark.parametrize("dicsizes", [[7], [5, 6], [5, 6, 3], [4, 5, 2, 3]])
+@pytest.mark.parametrize("dicsizes", [[7], [5, 6], [5, 6, 3], [4, 5, 2, 3],
+                                      [3, 4, 2, 2, 2]])
 def test_oracle_parity(rng, dicsizes):
     """Device scans agree with a scipy.optimize.nnls brute-force oracle."""
     dicsizes = np.array(dicsizes)
@@ -156,6 +157,39 @@ def test_nnls_underdetermined(rng):
         x_sp, rn = scipy.optimize.nnls(X, y)
         obj = np.sum((X @ x - y) ** 2)
         assert obj <= rn * rn * (1 + 1e-8) + 1e-12
+
+
+def test_nnls_underdetermined_cap_warning(rng):
+    """Hitting the iteration cap must warn, not silently return."""
+    import warnings as _warnings
+    X = rng.randn(10, 25)
+    y = rng.randn(10)
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        x, PP, w = mfn.nnls_underdetermined(X, y, max_outer=1)
+    assert any(issubclass(r.category, RuntimeWarning) for r in rec), \
+        "cap-hit should emit a RuntimeWarning"
+    assert np.all(x >= 0)  # still a feasible iterate
+
+
+def test_general_path_matches_oracle(rng):
+    """The K>4 vectorized support-enumeration path (used by the public
+    dispatcher for 5+ sub-dictionaries) against the scipy oracle, including
+    a chunk boundary smaller than the combination count."""
+    dicsizes = np.array([3, 3, 2, 2, 2])
+    n_col = int(np.sum(dicsizes))
+    for trial in range(4):
+        A = rng.randn(15, n_col)
+        y = rng.randn(15)
+        out = mfn._solve_exhaustive_posweights_general(A, y, dicsizes,
+                                                       chunk=17)
+        w, ind_sub, ind_tot, obj, y_rec = out
+        w_o, idx_o, obj_o = _oracle(A, y, dicsizes)
+        assert np.isclose(obj, obj_o, rtol=1e-9, atol=1e-12)
+        if w_o is not None:
+            assert np.all(ind_sub == idx_o)
+            assert np.allclose(w, w_o, rtol=1e-7, atol=1e-10)
+        assert np.allclose(y_rec, A[:, ind_tot] @ w)
 
 
 def test_tie_breaking_first_index():
