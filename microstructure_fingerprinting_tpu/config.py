@@ -26,7 +26,9 @@ class SolverConfig:
     tile_n1: int = 128             # candidate-grid tile (atoms)
     refine_noise: float = 4e-6     # f32 scan normalized-residual resolution
     topm: int = 16                 # refinement candidate budget
-    segments: int = 4              # per-row i2 segments in the Pallas scan
+    segments: int = 8              # per-row i2 segments in the Pallas scan
+    rescore_pool: int = 128        # pool size for direct-residual re-ranking
+    direct_noise: float = 4e-9     # direct-residual normalized resolution
 
 
 @dataclasses.dataclass(frozen=True)

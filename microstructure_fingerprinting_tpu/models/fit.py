@@ -112,27 +112,33 @@ def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
 
 def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                       K, csf_on, batch=128, topm=16, interpret=False,
-                      rotator=None):
-    """Fast path for the 2-fascicle (+CSF) configurations.
+                      rotator=None, sig_ear=None, ear_on=False):
+    """Fast path for the 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
-    fused Pallas Gram+scan kernel (ops/pallas_nnls.row_scan_{2,3}); the
+    fused Pallas Gram+scan kernel (ops/pallas_nnls.row_scan_{2,3,4}); the
     per-row minima are reduced to top-M candidates and re-scored exactly in
-    float64 on the host (models/refine.py). ~2.5x the XLA path on TPU v5e.
+    float64 on the host (models/refine.py; EAR atoms re-enumerated there).
     Returns NumPy (w, ind, min_obj, mse, r2) like run_bucket.
     """
     from ..ops import interp as interp_mod
     from ..ops import pallas_nnls as pk_mod
+    from ..ops import polish as polish_mod
     from . import refine as refine_mod
     assert K == 2, "pallas fast path covers the 2-fascicle configurations"
+    assert not ear_on or csf_on, \
+        "the pallas EAR kernel covers the CSF+EAR configuration"
     if rotator is None:
         rotator = interp_mod.make_grouped_rotation(ms_host, plan_host)
     n, S = y.shape
     dt = tables_ys.dtype
-    C = 2 + int(csf_on)
+    C = 2 + int(csf_on) + int(ear_on)
     sig_csf64 = (np.asarray(sig_csf, dtype=np.float64)
                  if csf_on else None)
     csf_d = (jnp.asarray(sig_csf, dtype=dt) if csf_on else None)
+    sig_ear64 = (np.asarray(sig_ear, dtype=np.float64) if ear_on else None)
+    ear_d = (jnp.asarray(sig_ear, dtype=dt) if ear_on else None)
+    E = sig_ear.shape[1] if ear_on else 0
 
     # One host->device push for the whole bucket, chunked on device, device
     # results stacked and pulled back in ONE transfer: host<->device latency
@@ -150,26 +156,44 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
 
     # dispatch ALL device work up front (async); results are pulled in
     # chunk groups so the host's float64 refinement overlaps with device
-    # compute of later groups
-    cands_d, vals_d = [], []
+    # compute of later groups. Pipeline per chunk: fused row scan ->
+    # pool of `rescore_pool` candidates -> direct-residual re-rank (the
+    # algebraic f32 scan only resolves ~1e-7 * ||y||^2; the direct pass
+    # resolves ~1e-10) -> top-`topm` for float64 re-scoring.
+    pool = max(config.DEFAULTS["solver"].rescore_pool, topm)
+    cands_d, vals_d, ysq_d = [], [], []
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
         yy_c = lax.dynamic_slice_in_dim(y_d, st, batch, axis=0)
         D = rotator(tables_ys, pk_c)
-        if csf_on:
+        if ear_on:
+            a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
+            a4 = jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
+            rows = pk_mod.row_scan_4(D[:, 0], D[:, 1], a3, a4, yy_c,
+                                     interpret=interpret)
+            cand2, _v = pk_mod.candidates_from_rows_4(rows[0], rows[1],
+                                                      pool, 1, E)
+        elif csf_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             rows = pk_mod.row_scan_3(D[:, 0], D[:, 1], a3, yy_c,
                                      interpret=interpret)
+            cand2, _v = pk_mod.candidates_from_rows(rows[0], rows[1], pool)
         else:
             rows = pk_mod.row_scan_2(D[:, 0], D[:, 1], yy_c,
                                      interpret=interpret)
-        cand2, vals2 = pk_mod.candidates_from_rows(rows[0], rows[1], topm)
+            cand2, _v = pk_mod.candidates_from_rows(rows[0], rows[1], pool)
+        cand2, res2, _w2 = pk_mod.rescore_direct(
+            D, csf_d, ear_d, yy_c, cand2, _v, M=topm,
+            csf_on=bool(csf_on), ear_on=bool(ear_on))
+        cand2, res2 = polish_mod.exact_polish(
+            D, csf_d, ear_d, yy_c, cand2, res2,
+            csf_on=bool(csf_on), ear_on=bool(ear_on))
         cands_d.append(cand2)
-        vals_d.append(vals2)
+        vals_d.append(res2)
+        ysq_d.append(rows[2])
 
-    noise = config.DEFAULTS["solver"].refine_noise
+    noise = config.DEFAULTS["solver"].direct_noise
     y64 = y.astype(np.float64)
-    C = 2 + int(csf_on)
     w_b = np.zeros((n, C))
     ind_b = np.zeros((n, C), np.int32)
     obj_b = np.zeros(n)
@@ -185,17 +209,21 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         m = g_en - g_st
         cand = np.asarray(jnp.concatenate(cands_d[g0:g1], axis=0))[:m]
         vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
+        ysq = np.asarray(jnp.concatenate(ysq_d[g0:g1], axis=0))[:m]
         # +inf candidates (padded rows of tiny dictionaries reaching the
         # top-M pool) carry padded i1 indices — clamp them into range; their
         # residuals keep them from winning the f64 re-score
         n_atom = tables_ys.shape[2]
         cand = np.clip(cand, 0, n_atom - 1)
+        if ear_on:
+            cand[:, :, 3] = np.clip(cand[:, :, 3], 0, E - 1)
 
-        # adaptive refinement depth: only candidates within the f32 scan's
-        # noise band of the champion can be exactly-optimal. Group voxels by
-        # their own tie depth so an isolated highly-degenerate voxel doesn't
-        # force deep re-scoring for the whole group.
-        k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1), 1, topm)
+        # adaptive refinement depth: only candidates within the direct
+        # re-score's noise band of the champion can be exactly-optimal.
+        # Group voxels by their own tie depth so an isolated highly-
+        # degenerate voxel doesn't force deep re-scoring for the whole group.
+        band = noise * ysq[:, None]
+        k_vox = np.clip(np.sum(vals <= vals[:, :1] + band, axis=1), 1, topm)
         lo_k = 1
         for hi_k in (1, 2, 4, 8, topm):
             sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
@@ -204,13 +232,13 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 continue
             gsel = g_st + sel
             cand_g = cand[sel, :hi_k]
-            if csf_on:
+            if csf_on and not ear_on:
                 cand_g = np.concatenate(
                     [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)],
                     axis=2)
             w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
                 ms_host, plan_host, pk_all[gsel], y64[gsel],
-                sig_csf64, None, cand_g, 2, bool(csf_on), False)
+                sig_csf64, sig_ear64, cand_g, 2, bool(csf_on), bool(ear_on))
             w_b[gsel] = w_g
             ind_b[gsel] = ind_g
             obj_b[gsel] = obj_g

@@ -465,7 +465,15 @@ class MFModel(object):
                           and num_seq * self.num_atom * 4 < 4 * 2 ** 20))
         pallas_interpret = jax.default_backend() != "tpu"
         rotator = None
-        if use_pallas and any(k[0] == 2 and not k[2] for k in configs):
+
+        def pallas_covers(cfg):
+            # 2-fascicle configs; EAR needs a CSF block (row_scan_4's
+            # size-1 third block) and a small enough EAR block to unroll
+            # its (i3, i4) sweeps inside the kernel
+            K_, csf_, ear_ = cfg
+            return K_ == 2 and (not ear_ or (csf_ and self.num_ear <= 16))
+
+        if use_pallas and any(pallas_covers(k) for k in configs):
             rotator = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
 
         # progress cadence contract (reference mf.py:948-949, 455-460):
@@ -481,12 +489,13 @@ class MFModel(object):
                 print("Config K=%d csf=%d ear=%d: %d voxel(s)"
                       % (K, has_csf, has_ear, idx.size))
             st_bucket = time.time()
-            if use_pallas and K == 2 and not has_ear:
+            if use_pallas and pallas_covers((K, has_csf, has_ear)):
                 w, ind, obj, mse, r2 = fit_mod.run_bucket_pallas(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :6], y_roi[idx], sig_csf,
                     K, has_csf, batch=batch_size or 256, topm=topm,
-                    interpret=pallas_interpret, rotator=rotator)
+                    interpret=pallas_interpret, rotator=rotator,
+                    sig_ear=sig_ear, ear_on=has_ear)
             else:
                 w, ind, obj, mse, r2 = fit_mod.run_bucket(
                     tables, plan,

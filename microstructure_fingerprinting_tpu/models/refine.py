@@ -105,6 +105,58 @@ def _solve_support(cols, y):
     raise NotImplementedError("refine supports up to 4 sub-dictionaries")
 
 
+def _solve_support_ear(cols, y, sig_ear):
+    """Exact f64 NNLS per candidate with the EAR atom enumerated.
+
+    cols: (C0, B, M, Nseq) non-EAR column stack (fascicles + CSF); sig_ear:
+    (Nseq, E). The f32 device scan keeps only its best (i3, i4) per (i1, i2)
+    grid point, so near-ties along the small EAR axis must be re-decided in
+    float64 here: the full (C0+1)-variable NNLS is solved for EVERY ear atom
+    and reduced with a first-minimum (reference product order puts the ear
+    axis innermost). Returns (w (B, M, C0+1), e_idx (B, M), res (B, M)).
+    """
+    C0, B, M, Nseq = cols.shape
+    E = sig_ear.shape[1]
+    y_sq = np.sum(y * y, axis=1)[:, None, None]              # (B, 1, 1)
+    if native.available():
+        Gn, Yn = native.candidate_grams_f64(cols, y)
+        Yb = [Yn[i][:, :, None] for i in range(C0)]
+        Gb = [[Gn[i, j][:, :, None] for j in range(C0)] for i in range(C0)]
+    else:
+        Yb = [np.einsum("bms,bs->bm", c, y)[:, :, None] for c in cols]
+        Gb = [[np.einsum("bms,bms->bm", cols[i], cols[j])[:, :, None]
+               for j in range(C0)] for i in range(C0)]
+    Ge = [np.einsum("bms,se->bme", cols[i], sig_ear) for i in range(C0)]
+    Gee = np.sum(sig_ear * sig_ear, axis=0)[None, None, :]   # (1, 1, E)
+    Ye = (y @ sig_ear)[:, None, :]                           # (B, 1, E)
+
+    C = C0 + 1
+    if C == 2:
+        w1, we, res = mfn.lsqnonneg_2var(y_sq, Gb[0][0], Ge[0], Gee,
+                                         Yb[0], Ye, xp=np)
+        w = np.stack([w1, we], axis=3)
+    elif C == 3:
+        w1, w2, we, res = mfn.lsqnonneg_3var(
+            y_sq, Gb[0][0], Gb[1][1], Gee, Gb[0][1], Ge[0], Ge[1],
+            Yb[0], Yb[1], Ye, xp=np)
+        w = np.stack([w1, w2, we], axis=3)
+    elif C == 4:
+        G = ((Gb[0][0], Gb[0][1], Gb[0][2], Ge[0]),
+             (Gb[0][1], Gb[1][1], Gb[1][2], Ge[1]),
+             (Gb[0][2], Gb[1][2], Gb[2][2], Ge[2]),
+             (Ge[0], Ge[1], Ge[2], Gee))
+        w1, w2, w3, we, res = mfn.lsqnonneg_4var(
+            y_sq, G, (Yb[0], Yb[1], Yb[2], Ye), xp=np)
+        w = np.stack([w1, w2, w3, we], axis=3)
+    else:
+        raise NotImplementedError("refine supports up to 4 sub-dictionaries")
+    res = np.where(np.isnan(res), np.inf, res)               # (B, M, E)
+    e_idx = np.argmin(res, axis=2)                           # first minimum
+    res_m = np.take_along_axis(res, e_idx[:, :, None], axis=2)[:, :, 0]
+    w_m = np.take_along_axis(w, e_idx[:, :, None, None], axis=2)[:, :, 0, :]
+    return w_m, e_idx.astype(np.int32), res_m
+
+
 def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
                       cand_ids, K, csf_on, ear_on):
     """Select the exact winner among device candidates, in float64.
@@ -114,37 +166,41 @@ def refine_candidates(ms, plan, peaks, y, sig_csf, sig_ear,
       peaks (B, K, 3), y (B, Nseq) float64.
       sig_csf (Nseq,), sig_ear (Nseq, E) or None.
       cand_ids (B, M, C) int32 per-sub-dictionary candidate indices
-        (C = K + csf_on + ear_on).
+        (C = K + csf_on + ear_on). With an EAR block, the ear slot of
+        cand_ids is advisory only: the ear atom is re-enumerated exactly.
     Returns (w (B, C), ind (B, C) int32, min_obj (B,), y_rec (B, Nseq)).
     """
     B, M, C = cand_ids.shape
     y = np.asarray(y, dtype=np.float64)
     Nseq = y.shape[1]
-    cols = np.empty((C, B, M, Nseq), dtype=np.float64)
+    C0 = K + int(csf_on)
+    cols = np.empty((C0, B, M, Nseq), dtype=np.float64)
     for k in range(K):
         interp_columns(ms, plan, peaks[:, k, :], cand_ids[:, :, k],
                        out=cols[k])
-    c = K
     if csf_on:
-        cols[c] = sig_csf[None, None, :]
-        c += 1
-    if ear_on:
-        e_ids = cand_ids[:, :, c]
-        cols[c] = np.transpose(sig_ear[:, e_ids], (1, 2, 0))
-        c += 1
+        cols[K] = sig_csf[None, None, :]
 
-    w, res = _solve_support(cols, y)                         # (B, M, C), (B, M)
-    res = np.where(np.isnan(res), np.inf, res)
+    if ear_on:
+        sig_ear64 = np.asarray(sig_ear, dtype=np.float64)
+        w, e_idx, res = _solve_support_ear(cols, y, sig_ear64)
+    else:
+        w, res = _solve_support(cols, y)                     # (B,M,C), (B,M)
+        res = np.where(np.isnan(res), np.inf, res)
     # winner: min residual, ties -> lowest candidate rank (device candidates
     # are ordered by (f32 residual, reference candidate rank))
     best = np.argmin(res, axis=1)                            # first minimum
     w_best = np.take_along_axis(w, best[:, None, None], axis=1)[:, 0, :]
     ind_best = np.take_along_axis(cand_ids, best[:, None, None],
-                                  axis=1)[:, 0, :]
+                                  axis=1)[:, 0, :].copy()
     obj = np.take_along_axis(res, best[:, None], axis=1)[:, 0]
     y_rec = np.zeros_like(y)
-    for j in range(C):
+    for j in range(C0):
         col = np.take_along_axis(
             cols[j], best[:, None, None], axis=1)[:, 0, :]
         y_rec += w_best[:, j][:, None] * col
+    if ear_on:
+        e_best = np.take_along_axis(e_idx, best[:, None], axis=1)[:, 0]
+        ind_best[:, C - 1] = e_best
+        y_rec += w_best[:, C - 1][:, None] * sig_ear64[:, e_best].T
     return w_best, ind_best.astype(np.int32), obj, y_rec

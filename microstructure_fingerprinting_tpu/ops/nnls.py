@@ -489,125 +489,290 @@ def exhaustive_3_batched(A1, A2, A3, y, tile=_TILE_N1):
     return w, ind, best_res * y_out_sq
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
-    """K=4 exhaustive NNLS over a voxel batch (support-enumeration inner
-    solver). Intended for the fascicle+fascicle+CSF+EAR configuration where
-    N3 and N4 are small; cost scales with N3*N4 grid sweeps.
+# ---------------------------------------------------------------------------
+# 4-block configuration (2 fascicles + CSF + EAR): Schur-complement sweeps
+# ---------------------------------------------------------------------------
+#
+# The real UKBB workload is dicsizes ~ [N, N, 1, 10] (reference mf.py:922-934
+# builds exactly this; its _4up path runs one scipy.optimize.nnls per
+# combination). TPU-native approach: for each fixed pair of small-block
+# atoms (i3, i4) — a "sweep", N3*N4 of them — the 4x4 Gram has a constant
+# 2x2 trailing block, so the 15-support NNLS enumeration collapses to a few
+# Schur-complement closed forms with per-row (i1) / per-column (i2)
+# precomputation; the (i1, i2) grid work is ~50 flops per sweep instead of a
+# generic 4x4 Cramer enumeration (~10x less VPU work).
 
-    Candidate order (i4 outer, i3, i1, i2 inner) follows
-    itertools.product(range(N1), ..., range(N4)) ranking used by the
-    reference's >=4 path only up to axis order; ties across sub-dictionary
-    3/4 axes may differ from the reference in exactly-degenerate cases.
-    Returns (w (B,4), ind (B,4) int32, min_obj (B,)).
+def _sub1_res(Y, xp=jnp):
+    """Support {a}: unit-diagonal 1-var LS residual; infeasible -> +inf."""
+    return xp.where(Y >= 0, 1.0 - Y * Y, xp.inf)
+
+
+def _sub2_res(g, Ya, Yb, tol, xp=jnp):
+    """Support {a, b}: unit-diagonal 2-var LS residual via one division;
+    sign checks on the Cramer numerators (det > 0)."""
+    det = 1.0 - g * g
+    na = Ya - g * Yb
+    nb = Yb - g * Ya
+    feas = (det > tol) & (na >= 0) & (nb >= 0)
+    res = 1.0 - (na * Ya + nb * Yb) / xp.where(feas, det, 1.0)
+    return xp.where(feas, res, xp.inf)
+
+
+def _nnls4_sweep_res(G12, g13, g14, g23, g24, g34, Y1, Y2, Y3, Y4,
+                     tol, xp=jnp):
+    """Exact 4-variable NNLS residual over an (i1, i2) grid with columns 3
+    and 4 fixed (one sweep). All blocks are unit-normalized (diagonal 1).
+
+    Shapes (broadcast): G12, per-point (..., T, N2); g13, g14, Y1 per-row
+    (..., T, 1); g23, g24, Y2 per-column (..., 1, N2); g34, Y3, Y4
+    per-voxel (..., 1, 1). Residuals are relative to ||y||^2 = 1. Minimum
+    over all 15 non-empty supports of the feasible (w >= 0) unconstrained
+    LS solution — the support-enumeration identity for the NNLS optimum —
+    plus the empty support (res = 1).
+    """
+    inf = xp.inf
+    # supports inside the fixed {3, 4} block: per-voxel constants
+    det_f = 1.0 - g34 * g34
+    det_f_ok = det_f > tol
+    det_f_s = xp.where(det_f_ok, det_f, 1.0)
+    uf3 = (Y3 - g34 * Y4) / det_f_s
+    uf4 = (Y4 - g34 * Y3) / det_f_s
+    r_fix = xp.minimum(_sub1_res(Y3, xp), _sub1_res(Y4, xp))
+    r_fix = xp.minimum(r_fix, _sub2_res(g34, Y3, Y4, tol, xp))
+
+    def schur_fixed(g_a3, g_a4, Ya):
+        """Schur pieces for one grid variable a against the fixed block:
+        reduced diag/rhs + the {a, 3, 4} support residual."""
+        t3 = (g_a3 - g34 * g_a4) / det_f_s
+        t4 = (g_a4 - g34 * g_a3) / det_f_s
+        gaa = 1.0 - (g_a3 * t3 + g_a4 * t4)
+        ba = Ya - (g_a3 * uf3 + g_a4 * uf4)
+        ok = det_f_ok & (gaa > tol)
+        wa = ba / xp.where(ok, gaa, 1.0)
+        w3 = uf3 - wa * t3
+        w4 = uf4 - wa * t4
+        feas = ok & (wa >= 0) & (w3 >= 0) & (w4 >= 0)
+        r = 1.0 - (wa * Ya + w3 * Y3 + w4 * Y4)
+        r134 = xp.where(feas, r, inf)
+        return t3, t4, gaa, ba, r134
+
+    t13, t14, g11_h, b1_h, r134 = schur_fixed(g13, g14, Y1)   # per-row
+    t23, t24, g22_h, b2_h, r234 = schur_fixed(g23, g24, Y2)   # per-col
+
+    # supports containing exactly one grid variable
+    r_row = xp.minimum(_sub1_res(Y1, xp), _sub2_res(g13, Y1, Y3, tol, xp))
+    r_row = xp.minimum(r_row, _sub2_res(g14, Y1, Y4, tol, xp))
+    r_row = xp.minimum(r_row, r134)                            # (.., T, 1)
+    r_col = xp.minimum(_sub1_res(Y2, xp), _sub2_res(g23, Y2, Y3, tol, xp))
+    r_col = xp.minimum(r_col, _sub2_res(g24, Y2, Y4, tol, xp))
+    r_col = xp.minimum(r_col, r234)                            # (.., 1, N2)
+
+    def solve2(gaa, gbb, gab, ba, bb):
+        """Reduced 2x2 SPD solve; returns (wa, wb, feas2, det)."""
+        det = gaa * gbb - gab * gab
+        na = ba * gbb - bb * gab
+        nb = bb * gaa - ba * gab
+        ok = (det > tol) & (gaa > tol)
+        dets = xp.where(ok, det, 1.0)
+        return na / dets, nb / dets, ok & (na >= 0) & (nb >= 0)
+
+    # support {1, 2}
+    r12 = _sub2_res(G12, Y1, Y2, tol, xp)
+
+    # support {1, 2, 3}: Schur-eliminate variable 3
+    g12_3 = G12 - g13 * g23
+    w1, w2, ok = solve2(1.0 - g13 * g13, 1.0 - g23 * g23, g12_3,
+                        Y1 - g13 * Y3, Y2 - g23 * Y3)
+    w3 = Y3 - g13 * w1 - g23 * w2
+    r123 = xp.where(ok & (w3 >= 0),
+                    1.0 - (w1 * Y1 + w2 * Y2 + w3 * Y3), inf)
+
+    # support {1, 2, 4}: Schur-eliminate variable 4
+    g12_4 = G12 - g14 * g24
+    w1, w2, ok = solve2(1.0 - g14 * g14, 1.0 - g24 * g24, g12_4,
+                        Y1 - g14 * Y4, Y2 - g24 * Y4)
+    w4 = Y4 - g14 * w1 - g24 * w2
+    r124 = xp.where(ok & (w4 >= 0),
+                    1.0 - (w1 * Y1 + w2 * Y2 + w4 * Y4), inf)
+
+    # support {1, 2, 3, 4}: Schur-eliminate the fixed {3, 4} block
+    g12_34 = G12 - (t13 * g23 + t14 * g24)
+    w1, w2, ok = solve2(g11_h, g22_h, g12_34, b1_h, b2_h)
+    w3 = uf3 - (w1 * t13 + w2 * t23)
+    w4 = uf4 - (w1 * t14 + w2 * t24)
+    r1234 = xp.where(ok & det_f_ok & (w3 >= 0) & (w4 >= 0),
+                     1.0 - (w1 * Y1 + w2 * Y2 + w3 * Y3 + w4 * Y4), inf)
+
+    res = xp.minimum(xp.minimum(r12, r123), xp.minimum(r124, r1234))
+    res = xp.minimum(res, r_row)
+    res = xp.minimum(res, r_col)
+    res = xp.minimum(res, r_fix)     # includes broadcast to (.., T, N2)
+    res = xp.minimum(res, 1.0)       # empty support
+    return _sanitize(res, xp)
+
+
+def _det_tol(dt):
+    return 100.0 * float(jnp.finfo(dt).eps)
+
+
+def _scan4_grid(A1, A2, A3, A4, y, tile, reduce_tile):
+    """Shared tile scan for the 4-block configuration.
+
+    Normalizes blocks, precomputes all small Grams, then scans i1 tiles; in
+    each tile the (N3 * N4) sweeps are unrolled in Python (small static
+    sizes) and reduced point-wise with a strict first-minimum in (i3, i4)
+    order, giving exact reference itertools.product tie-breaking. The
+    per-tile (res (B, tile, N2), flat (B, tile, N2) reference-rank ids) are
+    handed to ``reduce_tile(carry, res, flat)`` for argmin / top-M tracking.
+
+    Returns (carry, meta) where meta carries the normalization state:
+    (an1..an4, yn, yn_safe, N1, N1p, A-blocks normalized, Y-vectors).
     """
     B, S, _ = A1.shape
     N2, N3, N4 = A2.shape[2], A3.shape[2], A4.shape[2]
     dt = A1.dtype
-    A2, an2 = _normalize_block(A2)
-    A3, an3 = _normalize_block(A3)
-    A4, an4 = _normalize_block(A4)
-    y, yn, yn_safe = _normalize_y(y)
-    y_out_sq = yn * yn
-    y_sq = jnp.ones_like(yn)
-    a22 = jnp.ones_like(an2)
-    a33 = jnp.ones_like(an3)
-    a44 = jnp.ones_like(an4)
-    Y2 = jnp.einsum("bs,bsn->bn", y, A2, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    Y3 = jnp.einsum("bs,bsn->bn", y, A3, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    Y4 = jnp.einsum("bs,bsn->bn", y, A4, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    G34 = jnp.einsum("bsn,bsm->bnm", A3, A4, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
+    tol = _det_tol(dt)
+    NS = N3 * N4
+    A2h, an2 = _normalize_block(A2)
+    A3h, an3 = _normalize_block(A3)
+    A4h, an4 = _normalize_block(A4)
+    yh, yn, yn_safe = _normalize_y(y)
+    hp = dict(preferred_element_type=dt, precision=lax.Precision.HIGHEST)
+    Y2 = jnp.einsum("bs,bsn->bn", yh, A2h, **hp)
+    Y3 = jnp.einsum("bs,bsn->bn", yh, A3h, **hp)
+    Y4 = jnp.einsum("bs,bsn->bn", yh, A4h, **hp)
+    G34 = jnp.einsum("bsn,bsm->bnm", A3h, A4h, **hp)
+    G23 = jnp.einsum("bsn,bsm->bnm", A2h, A3h, **hp)
+    G24 = jnp.einsum("bsn,bsm->bnm", A2h, A4h, **hp)
     A1p, N1 = _pad_cols(A1, tile)
-    A1p, an1 = _normalize_block(A1p)
-    tile = min(tile, A1p.shape[2])
-    N1p = A1p.shape[2]
+    A1h, an1 = _normalize_block(A1p)
+    tile = min(tile, A1h.shape[2])
+    N1p = A1h.shape[2]
     n_tiles = N1p // tile
-    a11p = jnp.ones_like(an1)
-    Y1p = jnp.einsum("bs,bsn->bn", y, A1p, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    G13p = jnp.einsum("bsn,bsm->bnm", A1p, A3, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    G14p = jnp.einsum("bsn,bsm->bnm", A1p, A4, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    G23 = jnp.einsum("bsn,bsm->bnm", A2, A3, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
-    G24 = jnp.einsum("bsn,bsm->bnm", A2, A4, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
+    Y1p = jnp.einsum("bs,bsn->bn", yh, A1h, **hp)
+    G13p = jnp.einsum("bsn,bsm->bnm", A1h, A3h, **hp)
+    G14p = jnp.einsum("bsn,bsm->bnm", A1h, A4h, **hp)
 
-    def col(Gm, i, width):
-        idx = jnp.broadcast_to(i.astype(jnp.int32).reshape(1, 1, 1),
-                               (B, width, 1))
-        return jnp.take_along_axis(Gm, idx, axis=2)[:, :, 0]
+    r = lambda x: x[:, :, None]            # (B, tile) per-row
+    c = lambda x: x[:, None, :]            # (B, N2)  per-col
+    e = lambda x: x[:, None, None]         # (B,)     per-voxel
 
-    def scal(v, i):
-        idx = jnp.broadcast_to(i.astype(jnp.int32).reshape(1, 1), (B, 1))
-        return jnp.take_along_axis(v, idx, axis=1)[:, 0]
-
-    def body(carry, idx):
-        best_res, best_flat, bw = carry
-        i4 = idx // (N3 * n_tiles)
-        i3 = (idx // n_tiles) % N3
-        t = idx % n_tiles
+    def body(carry, t):
         st = t * tile
-        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
-        a11t = lax.dynamic_slice(a11p, (0, st), (B, tile))
-        Y1t = lax.dynamic_slice(Y1p, (0, st), (B, tile))
-        G13t = col(lax.dynamic_slice(G13p, (0, st, 0), (B, tile, N3)), i3, tile)
-        G14t = col(lax.dynamic_slice(G14p, (0, st, 0), (B, tile, N4)), i4, tile)
-        A23c = col(G23, i3, N2)
-        A24c = col(G24, i4, N2)
-        A33 = scal(a33, i3)
-        A44 = scal(a44, i4)
-        A34 = scal(col(G34, i4, N3), i3)
-        Y3i = scal(Y3, i3)
-        Y4i = scal(Y4, i4)
-        G12 = jnp.einsum("bst,bsn->btn", A1t, A2, preferred_element_type=dt,
-                    precision=lax.Precision.HIGHEST)
+        A1t = lax.dynamic_slice(A1h, (0, 0, st), (B, S, tile))
+        Y1t = r(lax.dynamic_slice(Y1p, (0, st), (B, tile)))
+        G13t = lax.dynamic_slice(G13p, (0, st, 0), (B, tile, N3))
+        G14t = lax.dynamic_slice(G14p, (0, st, 0), (B, tile, N4))
+        G12 = jnp.einsum("bst,bsn->btn", A1t, A2h, **hp)
 
-        e = lambda x: x[:, None, None]  # (B,) -> broadcast over (tile, N2)
-        r = lambda x: x[:, :, None]     # (B, tile)
-        c = lambda x: x[:, None, :]     # (B, N2)
-        Gm = ((r(a11t), G12, r(G13t), r(G14t)),
-              (G12, c(a22), c(A23c), c(A24c)),
-              (r(G13t), c(A23c), e(A33), e(A34)),
-              (r(G14t), c(A24c), e(A34), e(A44)))
-        Yv = (r(Y1t), c(Y2), e(Y3i), e(Y4i))
-        w1, w2, w3, w4, res = lsqnonneg_4var(e(y_sq), Gm, Yv)
+        best = jnp.full((B, tile, N2), jnp.inf, dt)
+        best_s = jnp.zeros((B, tile, N2), jnp.int32)
+        for s in range(NS):                 # unrolled: NS is small/static
+            i3, i4 = divmod(s, N4)
+            res_s = _nnls4_sweep_res(
+                G12, r(G13t[:, :, i3]), r(G14t[:, :, i4]),
+                c(G23[:, :, i3]), c(G24[:, :, i4]), e(G34[:, i3, i4]),
+                Y1t, c(Y2), e(Y3[:, i3]), e(Y4[:, i4]), tol)
+            upd = res_s < best              # strict: first (i3, i4) wins
+            best = jnp.where(upd, res_s, best)
+            best_s = jnp.where(upd, s, best_s)
 
-        i1g = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
-        res = jnp.where((i1g < N1)[None], res, jnp.inf)
-        flat = res.reshape(B, tile * N2)
-        loc = jnp.argmin(flat, axis=1).astype(jnp.int32)
-        val = jnp.take_along_axis(flat, loc[:, None], axis=1)[:, 0]
-        wv = [jnp.take_along_axis(w.reshape(B, -1), loc[:, None], axis=1)[:, 0]
-              for w in (w1, w2, w3, w4)]
-        gflat = (((i4 * N3 + i3) * N1p + st + loc // N2) * N2 + loc % N2).astype(jnp.int32)
+        i1 = (st.astype(jnp.int32)
+              + lax.broadcasted_iota(jnp.int32, (tile, N2), 0))
+        i2 = lax.broadcasted_iota(jnp.int32, (tile, N2), 1)
+        best = jnp.where((i1 < N1)[None], best, jnp.inf)
+        flat = (i1 * N2 + i2)[None] * NS + best_s   # reference product rank
+        return reduce_tile(carry, best.reshape(B, -1),
+                           flat.reshape(B, -1).astype(jnp.int32)), None
+
+    meta = dict(an=(an1, an2, an3, an4), yn=yn, yn_safe=yn_safe,
+                N1=N1, N1p=N1p, NS=NS, dims=(N2, N3, N4),
+                A=(A1h, A2h, A3h, A4h), Y=(Y1p, Y2, Y3, Y4), yh=yh)
+    return n_tiles, body, meta
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def exhaustive_4_batched(A1, A2, A3, A4, y, tile=_TILE_N1):
+    """K=4 exhaustive NNLS over a voxel batch (Schur-complement sweeps over
+    the two small trailing blocks — the fascicle+fascicle+CSF+EAR
+    configuration; cost scales with N3*N4 grid sweeps).
+
+    Candidate ranking follows the reference itertools.product order
+    (i1, i2, i3, i4 lexicographic; mf_utils.py:637) with strict-improvement
+    tie-breaking. Returns (w (B,4), ind (B,4) int32, min_obj (B,)).
+    """
+    B = y.shape[0]
+    dt = A1.dtype
+
+    def reduce_tile(carry, res, flat):
+        best_res, best_flat = carry
+        loc = jnp.argmin(res, axis=1)
+        val = jnp.take_along_axis(res, loc[:, None], axis=1)[:, 0]
+        fl = jnp.take_along_axis(flat, loc[:, None], axis=1)[:, 0]
         better = val < best_res
-        bw = [jnp.where(better, wv[i], bw[i]) for i in range(4)]
-        return ((jnp.where(better, val, best_res),
-                 jnp.where(better, gflat, best_flat), bw), None)
+        return (jnp.where(better, val, best_res),
+                jnp.where(better, fl, best_flat))
 
-    init = (y_sq, jnp.zeros((B,), jnp.int32),
-            [jnp.zeros((B,), dt) for _ in range(4)])
-    carry, _ = lax.scan(body, init, jnp.arange(N4 * N3 * n_tiles))
-    best_res, best_flat, bw = carry
-    i4 = best_flat // (N3 * N1p * N2)
-    rem = best_flat % (N3 * N1p * N2)
-    i3 = rem // (N1p * N2)
-    rem = rem % (N1p * N2)
-    i1 = rem // N2
-    i2 = rem % N2
-    for j, (an, ii) in enumerate(zip((an1, an2, an3, an4),
-                                     (i1, i2, i3, i4))):
-        bw[j] = (bw[j] * yn_safe
-                 / jnp.take_along_axis(an, ii[:, None], axis=1)[:, 0])
-    w = jnp.stack(bw, axis=1)
+    n_tiles, body, meta = _scan4_grid(A1, A2, A3, A4, y, tile, reduce_tile)
+    init = (jnp.ones((B,), dt), jnp.zeros((B,), jnp.int32))
+    (best_res, best_flat), _ = lax.scan(body, init, jnp.arange(n_tiles))
+
+    N2, N3, N4 = meta["dims"]
+    NS = meta["NS"]
+    pt = best_flat // NS
+    s = best_flat % NS
+    i1, i2 = pt // N2, pt % N2
+    i3, i4 = s // N4, s % N4
     ind = jnp.stack([i1, i2, i3, i4], axis=1).astype(jnp.int32)
-    return w, ind, best_res * y_out_sq
+
+    # weights for the single winning combination: gather its Gram scalars
+    # and re-solve the 4-variable support enumeration once per voxel
+    A1h, A2h, A3h, A4h = meta["A"]
+    Y1p, Y2, Y3, Y4 = meta["Y"]
+    cols = []
+    for Ah, ii in zip(meta["A"], (i1, i2, i3, i4)):
+        cols.append(jnp.take_along_axis(
+            Ah, ii[:, None, None].astype(jnp.int32), axis=2)[:, :, 0])
+    hp = dict(preferred_element_type=dt, precision=lax.Precision.HIGHEST)
+    G = [[jnp.einsum("bs,bs->b", cols[a], cols[b], **hp) for b in range(4)]
+         for a in range(4)]
+    Yv = tuple(jnp.einsum("bs,bs->b", meta["yh"], cols[a], **hp)
+               for a in range(4))
+    w1, w2, w3, w4, res = lsqnonneg_4var(
+        jnp.ones((B,), dt), tuple(tuple(G[a][b] for b in range(4))
+                                  for a in range(4)), Yv)
+    yn_safe = meta["yn_safe"]
+    ws = []
+    for wj, an, ii in zip((w1, w2, w3, w4), meta["an"], (i1, i2, i3, i4)):
+        ws.append(wj * yn_safe
+                  / jnp.take_along_axis(an, ii[:, None], axis=1)[:, 0])
+    y_out_sq = meta["yn"] * meta["yn"]
+    return jnp.stack(ws, axis=1), ind, best_res * y_out_sq
+
+
+@partial(jax.jit, static_argnames=("M", "tile"))
+def exhaustive_4_candidates(A1, A2, A3, A4, y, M=8, tile=_TILE_N1):
+    """Top-M candidates for the 4-block scan, in reference product order.
+
+    Returns (flats (B, M) int32, vals (B, M)) with
+    flat = ((i1 * N2 + i2) * N3 + i3) * N4 + i4. Each (i1, i2) grid point
+    contributes its best (i3, i4); the float64 re-scorer re-enumerates the
+    small blocks exactly (models/refine.py), so the pool only needs to
+    contain the optimal (i1, i2) pair.
+    """
+    B = y.shape[0]
+    dt = A1.dtype
+
+    def reduce_tile(carry, res, flat):
+        vals, flats = carry
+        tv, tf = _tile_topm(res, flat, M)
+        return _merge_topm(vals, flats, tv, tf, M)
+
+    n_tiles, body, meta = _scan4_grid(A1, A2, A3, A4, y, tile, reduce_tile)
+    init = (jnp.full((B, M), jnp.inf, dtype=dt),
+            jnp.zeros((B, M), jnp.int32))
+    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    return flats, vals
 
 
 # ---------------------------------------------------------------------------
@@ -784,12 +949,16 @@ def exhaustive_candidates_blocks(blocks, y, M=8, tile=_TILE_N1):
         rem = flats % (N1p * N2)
         return jnp.stack([rem // N2, rem % N2, i3], axis=2).astype(jnp.int32)
     if k == 4:
-        # fold blocks 3 and 4 into a single product sub-dictionary for
-        # candidate generation is incorrect for NNLS; instead run the top-1
-        # K=4 scan and let the re-scorer verify it (M=1 candidate).
-        w, ind, obj = exhaustive_4_batched(blocks[0], blocks[1], blocks[2],
-                                           blocks[3], y, tile=tile)
-        return ind[:, None, :]
+        N2, N3, N4 = (blocks[1].shape[2], blocks[2].shape[2],
+                      blocks[3].shape[2])
+        flats, _ = exhaustive_4_candidates(blocks[0], blocks[1], blocks[2],
+                                           blocks[3], y, M=M, tile=tile)
+        i4 = flats % N4
+        rem = flats // N4
+        i3 = rem % N3
+        rem = rem // N3
+        return jnp.stack([rem // N2, rem % N2, i3, i4],
+                         axis=2).astype(jnp.int32)
     raise NotImplementedError("candidates supported for 1-4 blocks")
 
 

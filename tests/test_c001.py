@@ -115,3 +115,62 @@ def test_fit_c001_real_data_tensor_input():
     est = fit.R2[in_mask & (numfasc > 0)]
     assert np.median(est) > 0.7, "median R2 %.3f unexpectedly low" \
         % np.median(est)
+
+
+GOLDEN_TENSOR_MAPS = ("M0", "MSE", "R2", "frac_f0", "frac_f1", "fvf_f0",
+                      "fvf_f1", "fvf_tot", "rad_f0", "rad_f1")
+
+
+def test_c001_golden_map_structural_parity(tmp_path):
+    """Structural parity with the reference's golden output maps.
+
+    The reference ships C001_small_tensorfiles_mf_ref_{param}.nii golden
+    fixtures (generated with a dictionary carrying fasc_propnames
+    ['rad','fvf'] that is not public, so VALUE parity is unreachable —
+    SURVEY.md section 4). What IS checkable: our write_nifti output under the
+    same inputs produces the same {base}_{param} naming scheme, covers every
+    golden parameter, and matches the golden volumes' shape and affine.
+    """
+    golden = {p: fixture_path("C001_small_tensorfiles_mf_ref_%s.nii" % p)
+              for p in GOLDEN_TENSOR_MAPS}
+    if not all(has_fixture("C001_small_tensorfiles_mf_ref_%s.nii" % p)
+               for p in GOLDEN_TENSOR_MAPS):
+        pytest.skip("golden C001 maps unavailable")
+
+    dic = _c001_dense_dictionary()
+    # golden maps were generated with properties ['rad', 'fvf']
+    dic["fasc_propnames"] = ["rad", "fvf"]
+    dic["rad"] = dic.pop("dpar")
+    dic["fvf"] = np.linspace(0.3, 0.9, dic["num_atom"])
+    fracs = nifti.load(
+        fixture_path("C001_diamond_small_fractions.nii.gz")).get_fdata()
+    peaks, numfasc = cleanup_2fascicles(
+        None, None, 'tensor',
+        fixture_path("C001_diamond_small_t0.nii.gz"),
+        fixture_path("C001_diamond_small_t1.nii.gz"),
+        fixture_path("C001_mask_small.nii.gz"),
+        frac12=fracs)
+    model = MFModel(dic)
+    fit = model.fit(fixture_path("C001_dwi_small.nii.gz"),
+                    fixture_path("C001_mask_small.nii.gz"),
+                    numfasc, peaks=peaks,
+                    bvals=fixture_path("C001_bvals"),
+                    bvecs=fixture_path("C001_bvecs"),
+                    verbose=0, batch_size=16)
+    base = str(tmp_path / "c001mf.nii")
+    written = fit.write_nifti(base)
+
+    # same {base}_{param}.nii naming scheme; every golden param covered
+    suffixes = {f[len(str(tmp_path / "c001mf")) + 1:-len(".nii")]
+                for f in written}
+    missing = set(GOLDEN_TENSOR_MAPS) - suffixes
+    assert not missing, "golden params not produced: %s" % sorted(missing)
+
+    for p, gpath in golden.items():
+        gimg = nifti.load(gpath)
+        ours = nifti.load(str(tmp_path / ("c001mf_%s.nii" % p)))
+        assert ours.shape == gimg.shape, \
+            "shape mismatch for %s: %s vs golden %s" % (p, ours.shape,
+                                                        gimg.shape)
+        assert np.allclose(ours.affine, gimg.affine, atol=1e-4), \
+            "affine mismatch for %s" % p

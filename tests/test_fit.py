@@ -387,6 +387,29 @@ def test_pallas_engine_matches_default(rng):
                                    err_msg=p)
 
 
+@pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+def test_pallas_engine_ear_matches_xla(rng):
+    """engine='pallas' == engine='xla' on the full mixed-config volume
+    including the 2-fascicle + CSF + EAR bucket (row_scan_4 path)."""
+    dic = _make_dictionary(n_atoms=48)
+    data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
+        dic, rng)
+    model = MFModel(dic)
+    kw = dict(peaks=peaks, pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+              ear_mask=ear_mask, verbose=0, batch_size=8, refine=True,
+              topm=8)
+    f_x = model.fit(data, mask, numfasc, engine="xla", **kw)
+    f_p = model.fit(data, mask, numfasc, engine="pallas", **kw)
+    scale = float(np.mean(data ** 2))
+    assert np.all(f_p.MSE <= f_x.MSE + 1e-6 * scale)
+    same = np.abs(f_p.MSE - f_x.MSE) <= 1e-10 * scale
+    assert same.sum() >= same.size - 1
+    for p in f_x.param_names:
+        a, b_ = getattr(f_p, p), getattr(f_x, p)
+        np.testing.assert_allclose(a[same], b_[same], rtol=1e-6, atol=1e-9,
+                                   err_msg=p)
+
+
 def test_pallas_rowscan_matches_xla(rng):
     """Fused Pallas row scan (interpret mode) finds the same optimum as the
     XLA exhaustive scan, K=2 and K=3 (size-1 third block)."""
@@ -409,6 +432,13 @@ def test_pallas_rowscan_matches_xla(rng):
     cand = np.asarray(cand)
     assert np.all(cand[:, 0, 0] == np.asarray(ind0)[:, 0])
     assert np.all(cand[:, 0, 1] == np.asarray(ind0)[:, 1])
+    # K=4 (2 fascicles + CSF + EAR shape)
+    a4 = rng.randn(B, S, 5).astype(np.float32)
+    rr, rc = pk.row_scan_4(A1, A2, a3, a4, y, interpret=True)[:2]
+    w0, ind0, obj0 = mfn.exhaustive_4_batched(A1, A2, a3, a4, y)
+    cand, vals = pk.candidates_from_rows_4(jnp_asarray(rr), jnp_asarray(rc),
+                                           4, 1, 5)
+    assert np.all(np.asarray(cand)[:, 0, :] == np.asarray(ind0))
 
 
 def jnp_asarray(x):

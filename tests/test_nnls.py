@@ -159,6 +159,73 @@ def test_nnls_underdetermined(rng):
         assert obj <= rn * rn * (1 + 1e-8) + 1e-12
 
 
+def test_4block_candidates_contain_oracle(rng):
+    """The top-M pool of the 4-block scan (2 fasc + CSF + EAR shape) must
+    contain the oracle-optimal (i1, i2) pair so the f64 re-scorer can pick
+    it; the top-1 must equal the oracle after decode."""
+    import jax.numpy as jnp
+    sizes = [30, 25, 1, 6]
+    N1, N2, N3, N4 = sizes
+    for trial in range(5):
+        A = rng.randn(20, sum(sizes))
+        y = rng.randn(20)
+        st = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
+        blocks = [jnp.asarray(A[None, :, st[k]:st[k] + sizes[k]])
+                  for k in range(4)]
+        flats, vals = mfn.exhaustive_4_candidates(*blocks,
+                                                  jnp.asarray(y[None]), M=8)
+        flats = np.asarray(flats[0])
+        i4 = flats % N4
+        i3 = (flats // N4) % N3
+        i2 = (flats // (N4 * N3)) % N2
+        i1 = flats // (N4 * N3 * N2)
+        w_o, idx_o, obj_o = _oracle(A, y, np.array(sizes))
+        if w_o is None:
+            continue
+        pairs = set(zip(i1.tolist(), i2.tolist()))
+        assert (idx_o[0], idx_o[1]) in pairs, \
+            "oracle (i1,i2) missing from candidate pool (trial %d)" % trial
+        assert (i1[0], i2[0], i3[0], i4[0]) == tuple(idx_o), \
+            "top-1 candidate differs from oracle (trial %d)" % trial
+
+
+def test_4block_refine_pipeline_matches_oracle(rng):
+    """Candidates + float64 EAR re-enumeration == oracle on the full
+    4-block problem (the path MFModel.fit uses for CSF+EAR voxels)."""
+    from microstructure_fingerprinting_tpu.models import refine as refine_mod
+    import jax.numpy as jnp
+    sizes = [12, 10, 1, 5]
+    N = 18
+    st = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
+    B = 6
+    A = rng.randn(N, sum(sizes))
+    Y = rng.randn(B, N)
+    blocks = [jnp.asarray(np.broadcast_to(
+        A[None, :, st[k]:st[k] + sizes[k]], (B, N, sizes[k])))
+        for k in range(4)]
+    cand = np.asarray(mfn.exhaustive_candidates_blocks(
+        tuple(blocks), jnp.asarray(Y), M=8))
+    cols = np.empty((2, B, 8, N))
+    for k in range(2):
+        cols[k] = A[:, st[k] + cand[:, :, k]].transpose(1, 2, 0)
+    sig_csf = A[:, st[2]]
+    sig_ear = A[:, st[3]:]
+    cols_full = np.concatenate([cols, np.broadcast_to(
+        sig_csf[None, None, None, :], (1, B, 8, N))], axis=0)
+    w, e_idx, res = refine_mod._solve_support_ear(cols_full, Y, sig_ear)
+    best = np.argmin(res, axis=1)
+    for b in range(B):
+        w_o, idx_o, obj_o = _oracle(A, Y[b], np.array(sizes))
+        if w_o is None:
+            continue
+        m = best[b]
+        got = (cand[b, m, 0], cand[b, m, 1], cand[b, m, 2], e_idx[b, m])
+        assert got == tuple(idx_o), "voxel %d: %s vs oracle %s" \
+            % (b, got, tuple(idx_o))
+        assert np.isclose(res[b, m], obj_o, rtol=1e-9, atol=1e-12)
+        assert np.allclose(w[b, m], w_o, rtol=1e-7, atol=1e-10)
+
+
 def test_nnls_underdetermined_cap_warning(rng):
     """Hitting the iteration cap must warn, not silently return."""
     import warnings as _warnings
