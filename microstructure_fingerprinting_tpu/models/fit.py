@@ -124,6 +124,7 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     from ..ops import interp as interp_mod
     from ..ops import pallas_nnls as pk_mod
     from ..ops import polish as polish_mod
+    from ..ops import dfscan
     from . import refine as refine_mod
     assert K == 2, "pallas fast path covers the 2-fascicle configurations"
     assert not ear_on or csf_on, \
@@ -156,12 +157,16 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
 
     # dispatch ALL device work up front (async); results are pulled in
     # chunk groups so the host's float64 refinement overlaps with device
-    # compute of later groups. Pipeline per chunk: fused row scan ->
-    # pool of `rescore_pool` candidates -> direct-residual re-rank (the
-    # algebraic f32 scan only resolves ~1e-7 * ||y||^2; the direct pass
-    # resolves ~1e-10) -> top-`topm` for float64 re-scoring.
+    # compute of later groups. Per-chunk pipeline:
+    #   - no EAR: double-float candidate scan (ops/dfscan) — the scan
+    #     itself resolves residual gaps to ~1e-10 * ||y||^2, so its top-1
+    #     already matches float64 selection and host re-scoring runs at
+    #     depth 1 for almost every voxel;
+    #   - EAR: fused algebraic row scan (row_scan_4) -> pool ->
+    #     direct-residual re-rank -> coordinate polish (the compensated
+    #     4-block scan is future work; rescore+polish recover exactness).
     pool = max(config.DEFAULTS["solver"].rescore_pool, topm)
-    cands_d, vals_d, ysq_d = [], [], []
+    cands_d, vals_d = [], []
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
         yy_c = lax.dynamic_slice_in_dim(y_d, st, batch, axis=0)
@@ -173,24 +178,22 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                      interpret=interpret)
             cand2, _v = pk_mod.candidates_from_rows_4(rows[0], rows[1],
                                                       pool, 1, E)
+            cand2, res2, _w2 = pk_mod.rescore_direct(
+                D, csf_d, ear_d, yy_c, cand2, _v, M=topm,
+                csf_on=bool(csf_on), ear_on=True)
+            cand2, res2 = polish_mod.exact_polish(
+                D, csf_d, ear_d, yy_c, cand2, res2,
+                csf_on=bool(csf_on), ear_on=True)
+            res2 = res2 / jnp.maximum(rows[2][:, None], 1e-30)  # normalize
         elif csf_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
-            rows = pk_mod.row_scan_3(D[:, 0], D[:, 1], a3, yy_c,
-                                     interpret=interpret)
-            cand2, _v = pk_mod.candidates_from_rows(rows[0], rows[1], pool)
+            cand2, res2, _ysq = dfscan.df3_candidates(D[:, 0], D[:, 1],
+                                                      a3, yy_c, M=topm)
         else:
-            rows = pk_mod.row_scan_2(D[:, 0], D[:, 1], yy_c,
-                                     interpret=interpret)
-            cand2, _v = pk_mod.candidates_from_rows(rows[0], rows[1], pool)
-        cand2, res2, _w2 = pk_mod.rescore_direct(
-            D, csf_d, ear_d, yy_c, cand2, _v, M=topm,
-            csf_on=bool(csf_on), ear_on=bool(ear_on))
-        cand2, res2 = polish_mod.exact_polish(
-            D, csf_d, ear_d, yy_c, cand2, res2,
-            csf_on=bool(csf_on), ear_on=bool(ear_on))
+            cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
+                                                      yy_c, M=topm)
         cands_d.append(cand2)
         vals_d.append(res2)
-        ysq_d.append(rows[2])
 
     noise = config.DEFAULTS["solver"].direct_noise
     y64 = y.astype(np.float64)
@@ -209,7 +212,6 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         m = g_en - g_st
         cand = np.asarray(jnp.concatenate(cands_d[g0:g1], axis=0))[:m]
         vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
-        ysq = np.asarray(jnp.concatenate(ysq_d[g0:g1], axis=0))[:m]
         # +inf candidates (padded rows of tiny dictionaries reaching the
         # top-M pool) carry padded i1 indices — clamp them into range; their
         # residuals keep them from winning the f64 re-score
@@ -218,12 +220,13 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         if ear_on:
             cand[:, :, 3] = np.clip(cand[:, :, 3], 0, E - 1)
 
-        # adaptive refinement depth: only candidates within the direct
-        # re-score's noise band of the champion can be exactly-optimal.
-        # Group voxels by their own tie depth so an isolated highly-
-        # degenerate voxel doesn't force deep re-scoring for the whole group.
-        band = noise * ysq[:, None]
-        k_vox = np.clip(np.sum(vals <= vals[:, :1] + band, axis=1), 1, topm)
+        # adaptive refinement depth: only candidates within the device
+        # selection's (normalized-residual) noise band of the champion can
+        # be exactly-optimal. Group voxels by their own tie depth so an
+        # isolated highly-degenerate voxel doesn't force deep re-scoring
+        # for the whole group.
+        k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1),
+                        1, topm)
         lo_k = 1
         for hi_k in (1, 2, 4, 8, topm):
             sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
