@@ -29,9 +29,9 @@ CHUNK = 256
 def _tpu_throughput(wl):
     """Throughput of the production fit path: grouped-matmul rotation +
     fused Pallas Gram/scan kernel + float64 top-M host re-scoring
-    (models/fit.run_bucket_pallas — what MFModel.fit uses on TPU)."""
+    (models/fit.run_bucket_fast — what MFModel.fit uses on TPU)."""
     import jax
-    from microstructure_fingerprinting_tpu.models.fit import run_bucket_pallas
+    from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
 
     from microstructure_fingerprinting_tpu.ops import interp as mfi
     ms, plan = wl["msinterp"], wl["plan"]
@@ -42,7 +42,7 @@ def _tpu_throughput(wl):
     rotator = mfi.make_grouped_rotation(ms, plan)  # built once per fit
 
     def step():
-        return run_bucket_pallas(ms, plan, ys_t, peaks, y, wl["sig_csf"],
+        return run_bucket_fast(ms, plan, ys_t, peaks, y, wl["sig_csf"],
                                  2, True, batch=CHUNK, topm=16,
                                  interpret=interpret, rotator=rotator)
 

@@ -110,25 +110,28 @@ def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
     return mfn.exhaustive_candidates_blocks(tuple(blocks), y, M=M)
 
 
-def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
-                      K, csf_on, batch=128, topm=16, interpret=False,
-                      rotator=None, sig_ear=None, ear_on=False):
+def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
+                    K, csf_on, batch=128, topm=16, interpret=False,
+                    rotator=None, sig_ear=None, ear_on=False):
     """Fast path for the 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
-    fused Pallas Gram+scan kernel (ops/pallas_nnls.row_scan_{2,3,4}); the
-    per-row minima are reduced to top-M candidates and re-scored exactly in
-    float64 on the host (models/refine.py; EAR atoms re-enumerated there).
+    double-float candidate scans (ops/dfscan.df{2,3,4}_candidates — exact
+    int8-MXU Gram + compensated bordered determinants), whose top-1 already
+    matches float64 selection; the small top-M pool is re-scored exactly in
+    float64 on the host (models/refine.py; EAR atoms re-enumerated there)
+    for f64-accurate weights/objectives and reference tie order.
     Returns NumPy (w, ind, min_obj, mse, r2) like run_bucket.
+    ``interpret`` is accepted for API compatibility (the df scans are plain
+    XLA and run identically on CPU).
     """
     from ..ops import interp as interp_mod
-    from ..ops import pallas_nnls as pk_mod
-    from ..ops import polish as polish_mod
     from ..ops import dfscan
     from . import refine as refine_mod
-    assert K == 2, "pallas fast path covers the 2-fascicle configurations"
+    del interpret
+    assert K == 2, "fast path covers the 2-fascicle configurations"
     assert not ear_on or csf_on, \
-        "the pallas EAR kernel covers the CSF+EAR configuration"
+        "the 4-block scan covers the CSF+EAR configuration"
     if rotator is None:
         rotator = interp_mod.make_grouped_rotation(ms_host, plan_host)
     n, S = y.shape
@@ -157,15 +160,10 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
 
     # dispatch ALL device work up front (async); results are pulled in
     # chunk groups so the host's float64 refinement overlaps with device
-    # compute of later groups. Per-chunk pipeline:
-    #   - no EAR: double-float candidate scan (ops/dfscan) — the scan
-    #     itself resolves residual gaps to ~1e-10 * ||y||^2, so its top-1
-    #     already matches float64 selection and host re-scoring runs at
-    #     depth 1 for almost every voxel;
-    #   - EAR: fused algebraic row scan (row_scan_4) -> pool ->
-    #     direct-residual re-rank -> coordinate polish (the compensated
-    #     4-block scan is future work; rescore+polish recover exactness).
-    pool = max(config.DEFAULTS["solver"].rescore_pool, topm)
+    # compute of later groups. Per chunk, the double-float candidate scan
+    # (ops/dfscan) resolves residual gaps to ~1e-10 * ||y||^2 on its own,
+    # so its top-1 already matches float64 selection and host re-scoring
+    # runs at depth 1 for almost every voxel.
     cands_d, vals_d = [], []
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
@@ -174,17 +172,8 @@ def run_bucket_pallas(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         if ear_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             a4 = jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
-            rows = pk_mod.row_scan_4(D[:, 0], D[:, 1], a3, a4, yy_c,
-                                     interpret=interpret)
-            cand2, _v = pk_mod.candidates_from_rows_4(rows[0], rows[1],
-                                                      pool, 1, E)
-            cand2, res2, _w2 = pk_mod.rescore_direct(
-                D, csf_d, ear_d, yy_c, cand2, _v, M=topm,
-                csf_on=bool(csf_on), ear_on=True)
-            cand2, res2 = polish_mod.exact_polish(
-                D, csf_d, ear_d, yy_c, cand2, res2,
-                csf_on=bool(csf_on), ear_on=True)
-            res2 = res2 / jnp.maximum(rows[2][:, None], 1e-30)  # normalize
+            cand2, res2, _ysq = dfscan.df4_candidates(
+                D[:, 0], D[:, 1], a3, a4, yy_c, M=topm)
         elif csf_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             cand2, res2, _ysq = dfscan.df3_candidates(D[:, 0], D[:, 1],
@@ -258,6 +247,9 @@ def _r2_np(y, y_rec):
     ok = (den > 0) & (n > 1)
     r = np.where(ok, num / np.where(ok, den, 1.0), 0.0)
     return r * r
+
+
+run_bucket_pallas = run_bucket_fast  # backwards-compatible alias
 
 
 def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,

@@ -490,7 +490,7 @@ class MFModel(object):
                       % (K, has_csf, has_ear, idx.size))
             st_bucket = time.time()
             if use_pallas and pallas_covers((K, has_csf, has_ear)):
-                w, ind, obj, mse, r2 = fit_mod.run_bucket_pallas(
+                w, ind, obj, mse, r2 = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :6], y_roi[idx], sig_csf,
                     K, has_csf, batch=batch_size or 256, topm=topm,

@@ -445,6 +445,380 @@ def _sanit(x):
     return jnp.where(jnp.isnan(x), jnp.inf, x)
 
 
+# ---------------------------------------------------------------------------
+# 4-block configuration (2 fascicles + CSF + EAR), compensated
+# ---------------------------------------------------------------------------
+#
+# Unlike the K<=3 scans (which reproduce the reference Numba kernels'
+# fallback-chain semantics), the reference solves the 4-block problem with
+# scipy.optimize.nnls per combination (mf_utils.py:612-657), so the device
+# scan uses the clean support-enumeration identity: NNLS(res) = min over
+# non-empty supports S of the unconstrained LS residual on S restricted to
+# all-nonnegative solutions. Residual VALUES are compensated bordered
+# determinants over double-float Gram entries; feasibility BOOLEANS (the
+# unconstrained weights' signs) are plain f32.
+
+def _dfm(*dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = _mul(out, d)
+    return out
+
+
+def _sub1_df(d, p, w):
+    """Support {a}: res = (d*w - p^2)/d, feasible iff p >= 0."""
+    num = _val(_add(_mul(d, w), _neg(_mul(p, p))))
+    res = num / _val(d)
+    return jnp.where(_val(p) >= 0, res, jnp.inf)
+
+
+def _sub2_df(dA, dB, g, pA, pB, w):
+    """Support {a, b}: bordered 3x3 det / det2, unconstrained-sign feas."""
+    det2 = _val(_add(_mul(dA, dB), _neg(_mul(g, g))))
+    num = _accumulate([
+        _dfm(dA, dB, w), _neg(_dfm(g, g, w)),
+        _scale(_dfm(g, pA, pB), 2.0),
+        _neg(_dfm(dA, pB, pB)), _neg(_dfm(dB, pA, pA))])
+    n1 = _val(dB) * _val(pA) - _val(g) * _val(pB)
+    n2 = _val(dA) * _val(pB) - _val(g) * _val(pA)
+    feas = (det2 > _TOL * _val(dA) * _val(dB)) & (n1 >= 0) & (n2 >= 0)
+    return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
+
+
+def _sub3_df(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w):
+    """Support {a, b, c}: bordered 4x4 det / det3 via the quadratic-in-gAB
+    expansion (reusing the df3 coefficient structure), unconstrained-sign
+    feasibility in f32."""
+    # C0 + C1*gAB + C2*gAB^2 with (row=(dA,gAC,pA), col=(dB,gBC,pB),
+    # voxel=(dC,pC,w)) — same polynomial as df3_candidates
+    U1 = _add(_mul(pB, pB), _neg(_mul(dB, w)))
+    U2 = _scale(_add(_mul(dB, pC), _neg(_mul(gBC, pB))), 2.0)
+    U3 = _add(_mul(dB, _add(_mul(dC, w), _neg(_mul(pC, pC)))),
+              _neg(_mul(dC, _mul(pB, pB))),
+              _scale(_dfm(gBC, pB, pC), 2.0),
+              _neg(_mul(_mul(gBC, gBC), w)))
+    U4 = _add(_mul(gBC, gBC), _neg(_mul(dB, dC)))
+    V1 = _scale(_add(_mul(gBC, w), _neg(_mul(pB, pC))), 2.0)
+    V2 = _scale(_add(_mul(dC, pB), _neg(_mul(gBC, pC))), 2.0)
+    C2 = _add(_mul(pC, pC), _neg(_mul(dC, w)))
+    det4 = _accumulate([
+        _dfm(gAC, gAC, U1), _dfm(gAC, pA, U2), _mul(dA, U3),
+        _dfm(pA, pA, U4),
+        _mul(gAB, _add(_mul(gAC, V1), _mul(pA, V2))),
+        _mul(_mul(gAB, gAB), C2)])
+    af, bf, cf = _val(gAB), _val(gAC), _val(gBC)
+    dAf, dBf, dCf = _val(dA), _val(dB), _val(dC)
+    pAf, pBf, pCf = _val(pA), _val(pB), _val(pC)
+    det3 = (dAf * (dBf * dCf - cf * cf) - af * (af * dCf - cf * bf)
+            + bf * (af * cf - dBf * bf))
+    D1 = (pAf * (dBf * dCf - cf * cf) - pBf * (af * dCf - cf * bf)
+          + pCf * (af * cf - dBf * bf))
+    D2 = (-pAf * (af * dCf - bf * cf) + pBf * (dAf * dCf - bf * bf)
+          - pCf * (dAf * cf - af * bf))
+    D3 = (pAf * (af * cf - bf * dBf) - pBf * (dAf * cf - bf * af)
+          + pCf * (dAf * dBf - af * af))
+    feas = ((det3 > _TOL * dAf * dBf * dCf)
+            & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
+    return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
+
+
+def _df_div(x, y):
+    """Double-float division (one Newton correction)."""
+    q0 = x[0] / y[0]
+    # r = x - q0*y, evaluated exactly-ish
+    p, e = df32.two_prod(q0, y[0])
+    r_hi = (x[0] - p) - e + x[1] - q0 * y[1]
+    q1 = r_hi / y[0]
+    return df32.fast_two_sum(q0, q1)
+
+
+@partial(jax.jit, static_argnames=("M", "tile"))
+def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
+    """Top-M candidates for [N1, N2, N3, N4] (2 fascicles + CSF + EAR)
+    with double-float selection.
+
+    The small trailing blocks (N3 * N4 sweeps, typically 1 x 10) are
+    eliminated per sweep by a double-float Schur reduction at the per-row /
+    per-column level (vectorized over all sweeps at once); the per-point
+    grid work runs as a lax.scan over sweeps whose body evaluates one
+    reduced bordered 3x3 determinant ({1,2,3,4}) and one quadratic-in-g12
+    bordered 4x4 ({1,2,4}); supports not containing both grid variables are
+    hoisted. Candidate rank follows itertools.product order
+    ((i1, i2, i3, i4) lexicographic, reference mf_utils.py:637).
+    Returns (cand (B, M, 4) int32, res (B, M) normalized residuals,
+    y_sq (B,) raw)."""
+    B, S, N1 = A1.shape
+    N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
+    NS = N3 * N4
+    A1p, _ = mfn._pad_cols(A1, tile)
+    A1h, _ = mfn._normalize_block(A1p)
+    A2h, _ = mfn._normalize_block(A2)
+    A3h, _ = mfn._normalize_block(a3)
+    A4h, _ = mfn._normalize_block(a4)
+    yh, yn, _ys = mfn._normalize_y(y)
+    tile = min(tile, A1h.shape[2])
+    N1p = A1h.shape[2]
+    n_tiles = N1p // tile
+
+    qA1 = quantize2(A1h)
+    qA2 = quantize2(A2h)
+    qA3 = quantize2(A3h)
+    qA4 = quantize2(A4h)
+    qy = quantize2(yh)
+
+    diag = "bsn,bsn->bn"
+    vec = "bsn,bs->bn"
+    cross = "bsn,bsm->bnm"
+    d1 = df_gram(qA1, qA1, diag)                  # (B, N1p)
+    d2 = df_gram(qA2, qA2, diag)
+    d3 = df_gram(qA3, qA3, diag)                  # (B, N3)
+    d4 = df_gram(qA4, qA4, diag)                  # (B, N4)
+    p_ = df_gram(qA1, qy, vec)
+    q_ = df_gram(qA2, qy, vec)
+    r3 = df_gram(qA3, qy, vec)                    # (B, N3)
+    r4 = df_gram(qA4, qy, vec)                    # (B, N4)
+    b3 = df_gram(qA1, qA3, cross)                 # (B, N1p, N3)
+    b4 = df_gram(qA1, qA4, cross)                 # (B, N1p, N4)
+    c3 = df_gram(qA2, qA3, cross)                 # (B, N2, N3)
+    c4 = df_gram(qA2, qA4, cross)                 # (B, N2, N4)
+    g34 = df_gram(qA3, qA4, cross)                # (B, N3, N4)
+    w_ = df_gram(qy, qy, "bs,bs->b")
+    w_ = (w_[0][:, None], w_[1][:, None])
+
+    # ---- Schur pieces for ALL sweeps at once, axes (B, ., N3, N4) ----
+    ax = lambda x, sh: (x[0].reshape(sh), x[1].reshape(sh))
+    d3e = ax(d3, (B, 1, N3, 1))
+    d4e = ax(d4, (B, 1, 1, N4))
+    r3e = ax(r3, (B, 1, N3, 1))
+    r4e = ax(r4, (B, 1, 1, N4))
+    ge = ax(g34, (B, 1, N3, N4))
+    w4 = ax(w_, (B, 1, 1, 1))
+    det_f = _add(_mul(d3e, d4e), _neg(_mul(ge, ge)))
+    u3 = _df_div(_add(_mul(d4e, r3e), _neg(_mul(ge, r4e))), det_f)
+    u4 = _df_div(_add(_mul(d3e, r4e), _neg(_mul(ge, r3e))), det_f)
+    w_hat = _add(w4, _neg(_mul(r3e, u3)), _neg(_mul(r4e, u4)))
+    detf_ok = _val(det_f) > _TOL * _val(d3e) * _val(d4e)   # (B,1,N3,N4)
+
+    def schur_side(dX, pX, gX3, gX4):
+        tX3 = _df_div(_add(_mul(d4e, gX3), _neg(_mul(ge, gX4))), det_f)
+        tX4 = _df_div(_add(_mul(d3e, gX4), _neg(_mul(ge, gX3))), det_f)
+        g_hat = _add(dX, _neg(_mul(gX3, tX3)), _neg(_mul(gX4, tX4)))
+        b_hat = _add(pX, _neg(_mul(gX3, u3)), _neg(_mul(gX4, u4)))
+        return tX3, tX4, g_hat, b_hat
+
+    d1e = ax(d1, (B, N1p, 1, 1))
+    p1e = ax(p_, (B, N1p, 1, 1))
+    b3e = ax(b3, (B, N1p, N3, 1))
+    b4e = (b4[0][:, :, None, :], b4[1][:, :, None, :])
+    d2e = ax(d2, (B, N2, 1, 1))
+    q2e = ax(q_, (B, N2, 1, 1))
+    c3e = ax(c3, (B, N2, N3, 1))
+    c4e = (c4[0][:, :, None, :], c4[1][:, :, None, :])
+    t13, t14, g11h, b1h = schur_side(d1e, p1e, b3e, b4e)  # (B,N1p,N3,N4)
+    t23, t24, g22h, b2h = schur_side(d2e, q2e, c3e, c4e)  # (B,N2,N3,N4)
+
+    # hoisted supports not containing both grid variables
+    r_fix = jnp.minimum(_sub1_df(d3e, r3e, w4), _sub1_df(d4e, r4e, w4))
+    r_fix = jnp.minimum(r_fix, _sub2_df(d3e, d4e, ge, r3e, r4e, w4))
+    r_row = jnp.minimum(_sub2_df(d1e, d3e, b3e, p1e, r3e, w4),
+                        _sub2_df(d1e, d4e, b4e, p1e, r4e, w4))
+    r_row = jnp.minimum(r_row, _sub3_df(
+        d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e, r4e, w4))
+    r_col = jnp.minimum(_sub2_df(d2e, d3e, c3e, q2e, r3e, w4),
+                        _sub2_df(d2e, d4e, c4e, q2e, r4e, w4))
+    r_col = jnp.minimum(r_col, _sub3_df(
+        d2e, d3e, d4e, c3e, c4e, ge, q2e, r3e, r4e, w4))
+    res1_row = _sub1_df(d1, p_, w_)                        # (B, N1p)
+    res2_col = _sub1_df(d2, q_, w_)                        # (B, N2)
+
+    # stack per-sweep data with a leading NS axis for the in-body scan
+    def sweep_first(x, inner):
+        # (B, inner, N3, N4) -> (NS, B, inner)
+        return jnp.moveaxis(x.reshape(B, inner, NS), 2, 0)
+
+    def sweep_df(x, inner):
+        return (sweep_first(x[0], inner), sweep_first(x[1], inner))
+
+    xs_sweep = dict(
+        t13=sweep_df(t13, N1p), t14=sweep_df(t14, N1p),
+        g11h=sweep_df(g11h, N1p), b1h=sweep_df(b1h, N1p),
+        t23=sweep_df(t23, N2), t24=sweep_df(t24, N2),
+        g22h=sweep_df(g22h, N2), b2h=sweep_df(b2h, N2),
+        u3=sweep_df(u3, 1), u4=sweep_df(u4, 1),
+        w_hat=sweep_df(w_hat, 1), detf_ok=sweep_first(detf_ok, 1),
+        r_row=sweep_first(r_row, N1p), r_col=sweep_first(r_col, N2),
+        r_fix=sweep_first(r_fix, 1),
+        d4s=sweep_df((jnp.broadcast_to(d4e[0], (B, 1, N3, N4)),
+                      jnp.broadcast_to(d4e[1], (B, 1, N3, N4))), 1),
+        r4s=sweep_df((jnp.broadcast_to(r4e[0], (B, 1, N3, N4)),
+                      jnp.broadcast_to(r4e[1], (B, 1, N3, N4))), 1),
+        b4s=sweep_df((jnp.broadcast_to(b4e[0], (B, N1p, N3, N4)),
+                      jnp.broadcast_to(b4e[1], (B, N1p, N3, N4))), N1p),
+        c4s=sweep_df((jnp.broadcast_to(c4e[0], (B, N2, N3, N4)),
+                      jnp.broadcast_to(c4e[1], (B, N2, N3, N4))), N2),
+        s_idx=jnp.arange(NS, dtype=jnp.int32),
+    )
+
+    def rowd(x, sl):
+        return (sl(x[0])[:, :, None], sl(x[1])[:, :, None])
+
+    def cold(x):
+        return (x[0][:, None, :], x[1][:, None, :])
+
+    def body(carry, t):
+        st = t * tile
+        sl = lambda v: lax.dynamic_slice(v, (0, st), (B, tile))
+        qa1_t = tuple(lax.dynamic_slice(x, (0, 0, st), (B, S, tile))
+                      for x in qA1)
+        aa = df_gram_tile(qa1_t, qA2, N2)          # g12 (B, tile, N2) df
+
+        d1t, pt = rowd(d1, sl), rowd(p_, sl)
+        d2c, qc = cold(d2), cold(q_)
+        wv = (w_[0][:, :, None], w_[1][:, :, None])
+
+        # sweep-independent supports
+        r12 = _sub2_point(aa, d1t, d2c, pt, qc, wv)
+        base = jnp.minimum(r12, sl(res1_row)[:, :, None])
+        base = jnp.minimum(base, res2_col[:, None, :])
+        base = jnp.minimum(base, _val(wv))
+        # {1,2,3} per i3 (N3 is tiny and static; almost always 1)
+        r123_all = []
+        for i3 in range(N3):
+            ev3 = lambda x: (x[0][:, i3][:, None, None],
+                             x[1][:, i3][:, None, None])
+            b3t = rowd((b3[0][:, :, i3], b3[1][:, :, i3]), sl)
+            c3c = cold((c3[0][:, :, i3], c3[1][:, :, i3]))
+            r123_all.append(_sanit(_sub3_point(
+                aa, d1t, d2c, ev3(d3), b3t, c3c, pt, qc, ev3(r3), wv)))
+        r123_st = jnp.stack(r123_all, axis=0)      # (N3, B, tile, N2)
+
+        best = jnp.full((B, tile, N2), jnp.inf, jnp.float32)
+        best_s = jnp.zeros((B, tile, N2), jnp.int32)
+
+        def sweep_eval(carry_s, sw):
+            best, best_s = carry_s
+            tsl = lambda x: (sl(x[0])[:, :, None], sl(x[1])[:, :, None])
+            csl = lambda x: (x[0][:, None, :], x[1][:, None, :])
+            esl = lambda x: (x[0][:, :, None], x[1][:, :, None])
+            t13s, t14s = tsl(sw["t13"]), tsl(sw["t14"])
+            g11s, b1s = tsl(sw["g11h"]), tsl(sw["b1h"])
+            t23s, t24s = csl(sw["t23"]), csl(sw["t24"])
+            g22s, b2s = csl(sw["g22h"]), csl(sw["b2h"])
+            w_hs = esl(sw["w_hat"])
+            # support {1,2,4}
+            r124 = _sub3_point(aa, d1t, d2c, esl(sw["d4s"]),
+                               tsl(sw["b4s"]), csl(sw["c4s"]),
+                               pt, qc, esl(sw["r4s"]), wv)
+
+            i3 = sw["s_idx"] // N4
+            c3_sw = (jnp.take(c3[0], i3, axis=2),
+                     jnp.take(c3[1], i3, axis=2))         # (B, N2)
+            g12h = _add(aa, _neg(_mul(t13s, csl(c3_sw))),
+                        _neg(_mul(t14s, csl(sw["c4s"]))))
+            num = _accumulate([
+                _dfm(g11s, g22s, w_hs), _neg(_dfm(g12h, g12h, w_hs)),
+                _scale(_dfm(g12h, b1s, b2s), 2.0),
+                _neg(_dfm(g11s, b2s, b2s)), _neg(_dfm(g22s, b1s, b1s))])
+            g11f, g22f, g12f = _val(g11s), _val(g22s), _val(g12h)
+            b1f, b2f = _val(b1s), _val(b2s)
+            det2 = g11f * g22f - g12f * g12f
+            n1 = b1f * g22f - b2f * g12f
+            n2 = b2f * g11f - b1f * g12f
+            safe = jnp.where(det2 != 0, det2, 1.0)
+            w1f, w2f = n1 / safe, n2 / safe
+            w3f = (_val(esl(sw["u3"])) - w1f * _val(t13s)
+                   - w2f * _val(t23s))
+            w4f = (_val(esl(sw["u4"])) - w1f * _val(t14s)
+                   - w2f * _val(t24s))
+            feas = (sw["detf_ok"][:, :, None] & (g11f > 0)
+                    & (det2 > _TOL * g11f * g22f) & (n1 >= 0) & (n2 >= 0)
+                    & (w3f >= 0) & (w4f >= 0))
+            r1234 = jnp.where(feas, num / jnp.where(feas, det2, 1.0),
+                              jnp.inf)
+
+            res_s = jnp.minimum(base, jnp.take(r123_st, i3, axis=0))
+            res_s = jnp.minimum(res_s, _sanit(r124))
+            res_s = jnp.minimum(res_s, _sanit(r1234))
+            res_s = jnp.minimum(res_s, sl(sw["r_row"])[:, :, None])
+            res_s = jnp.minimum(res_s, sw["r_col"][:, None, :])
+            res_s = jnp.minimum(res_s, sw["r_fix"][:, :, None])
+            res_s = _sanit(res_s)
+            upd = res_s < best
+            return ((jnp.where(upd, res_s, best),
+                     jnp.where(upd, sw["s_idx"], best_s)), None)
+
+        (best, best_s), _ = lax.scan(sweep_eval, (best, best_s), xs_sweep)
+
+        i1 = (st.astype(jnp.int32)
+              + lax.broadcasted_iota(jnp.int32, (tile, N2), 0))
+        i2 = lax.broadcasted_iota(jnp.int32, (tile, N2), 1)
+        best = jnp.where((i1 < N1)[None], best, jnp.inf)
+        flat = ((i1 * N2 + i2)[None] * NS + best_s).astype(jnp.int32)
+        vals, flats = carry
+        tv, tf = mfn._tile_topm(best.reshape(B, -1),
+                                flat.reshape(B, -1), M)
+        return mfn._merge_topm(vals, flats, tv, tf, M), None
+
+    init = (jnp.full((B, M), jnp.inf, jnp.float32),
+            jnp.zeros((B, M), jnp.int32))
+    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    s = flats % NS
+    pt_ = flats // NS
+    cand = jnp.stack([pt_ // N2, pt_ % N2, s // N4, s % N4],
+                     axis=2).astype(jnp.int32)
+    return cand, vals, yn * yn
+
+
+def _sub2_point(aa, d1t, d2c, pt, qc, wv):
+    """Per-point support {1,2}: compensated bordered 3x3 / det2 with
+    unconstrained-sign feasibility."""
+    num = _accumulate([
+        _dfm(d1t, d2c, wv), _neg(_dfm(aa, aa, wv)),
+        _scale(_dfm(aa, pt, qc), 2.0),
+        _neg(_dfm(d1t, qc, qc)), _neg(_dfm(d2c, pt, pt))])
+    af, d1f, d2f = _val(aa), _val(d1t), _val(d2c)
+    pf, qf = _val(pt), _val(qc)
+    det2 = d1f * d2f - af * af
+    n1 = d2f * pf - af * qf
+    n2 = d1f * qf - af * pf
+    feas = (det2 > _TOL * d1f * d2f) & (n1 >= 0) & (n2 >= 0)
+    return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
+
+
+def _sub3_point(aa, d1t, d2c, dCe, bt, cc, pt, qc, rCe, wv):
+    """Per-point support {1,2,C}: the quadratic-in-g12 compensated
+    bordered 4x4 / det3 (C the fixed third column of this sweep)."""
+    U1 = _add(_mul(qc, qc), _neg(_mul(d2c, wv)))
+    U2 = _scale(_add(_mul(d2c, rCe), _neg(_mul(cc, qc))), 2.0)
+    U3 = _add(_mul(d2c, _add(_mul(dCe, wv), _neg(_mul(rCe, rCe)))),
+              _neg(_mul(dCe, _mul(qc, qc))),
+              _scale(_dfm(cc, qc, rCe), 2.0),
+              _neg(_mul(_mul(cc, cc), wv)))
+    U4 = _add(_mul(cc, cc), _neg(_mul(d2c, dCe)))
+    V1 = _scale(_add(_mul(cc, wv), _neg(_mul(qc, rCe))), 2.0)
+    V2 = _scale(_add(_mul(dCe, qc), _neg(_mul(cc, rCe))), 2.0)
+    C2 = _add(_mul(rCe, rCe), _neg(_mul(dCe, wv)))
+    det4 = _accumulate([
+        _dfm(bt, bt, U1), _dfm(bt, pt, U2), _mul(d1t, U3),
+        _dfm(pt, pt, U4),
+        _mul(aa, _add(_mul(bt, V1), _mul(pt, V2))),
+        _mul(_mul(aa, aa), C2)])
+    af, bf, cf = _val(aa), _val(bt), _val(cc)
+    d1f, d2f, dCf = _val(d1t), _val(d2c), _val(dCe)
+    pf, qf, rCf = _val(pt), _val(qc), _val(rCe)
+    det3 = (d1f * (d2f * dCf - cf * cf) - af * (af * dCf - cf * bf)
+            + bf * (af * cf - d2f * bf))
+    D1 = (pf * (d2f * dCf - cf * cf) - qf * (af * dCf - cf * bf)
+          + rCf * (af * cf - d2f * bf))
+    D2 = (-pf * (af * dCf - bf * cf) + qf * (d1f * dCf - bf * bf)
+          - rCf * (d1f * cf - af * bf))
+    D3 = (pf * (af * cf - bf * d2f) - qf * (d1f * cf - bf * af)
+          + rCf * (d1f * d2f - af * af))
+    feas = ((det3 > _TOL * d1f * d2f * dCf)
+            & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
+    return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
+
+
 def _two_var_cases(res_full, w1D, w2D, Y1, Y2, res1, res2, y_sq):
     """Reference 2-variable NNLS case selection with externally-supplied
     (compensated) residual VALUES (decision booleans in f32; cf.
