@@ -112,7 +112,7 @@ def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
 
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
-                    rotator=None, sig_ear=None, ear_on=False):
+                    rotator=None, sig_ear=None, ear_on=False, mesh=None):
     """Fast path for the 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
@@ -121,12 +121,17 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     matches float64 selection; the small top-M pool is re-scored exactly in
     float64 on the host (models/refine.py; EAR atoms re-enumerated there)
     for f64-accurate weights/objectives and reference tie order.
+    With ``mesh`` set, every chunk's voxel axis is sharded over the mesh's
+    'data' axis (SPMD data parallelism; XLA propagates the sharding through
+    the rotation and the scans — voxels are independent, so no collective
+    beyond the output gather is needed).
     Returns NumPy (w, ind, min_obj, mse, r2) like run_bucket.
     ``interpret`` is accepted for API compatibility (the df scans are plain
     XLA and run identically on CPU).
     """
     from ..ops import interp as interp_mod
     from ..ops import dfscan
+    from ..parallel import mesh as pmesh
     from . import refine as refine_mod
     del interpret
     assert K == 2, "fast path covers the 2-fascicle configurations"
@@ -168,6 +173,9 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
         yy_c = lax.dynamic_slice_in_dim(y_d, st, batch, axis=0)
+        if mesh is not None:
+            pk_c = pmesh.shard_batch(mesh, pk_c)
+            yy_c = pmesh.shard_batch(mesh, yy_c)
         D = rotator(tables_ys, pk_c)
         if ear_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))

@@ -460,7 +460,7 @@ class MFModel(object):
         # atom tile in VMEM; beyond ~1500 atoms fall back to the tiled XLA
         # scan, which streams both axes.
         use_pallas = (engine == "pallas"
-                      or (engine == "auto" and refine and mesh is None
+                      or (engine == "auto" and refine
                           and jax.default_backend() == "tpu"
                           and num_seq * self.num_atom * 4 < 4 * 2 ** 20))
         pallas_interpret = jax.default_backend() != "tpu"
@@ -493,9 +493,10 @@ class MFModel(object):
                 w, ind, obj, mse, r2 = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :6], y_roi[idx], sig_csf,
-                    K, has_csf, batch=batch_size or 256, topm=topm,
+                    K, has_csf, batch=batch if mesh is not None
+                    else (batch_size or 256), topm=topm,
                     interpret=pallas_interpret, rotator=rotator,
-                    sig_ear=sig_ear, ear_on=has_ear)
+                    sig_ear=sig_ear, ear_on=has_ear, mesh=mesh)
             else:
                 w, ind, obj, mse, r2 = fit_mod.run_bucket(
                     tables, plan,

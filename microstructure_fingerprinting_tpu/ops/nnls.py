@@ -1021,22 +1021,105 @@ def solve_exhaustive_posweights(A, y, dicsizes, printmsg=None):
     Nvars = dicsizes.size
     if Nvars > 4:
         return _solve_exhaustive_posweights_general(A, y, dicsizes)
+    # The public single-problem API solves in float64 ON THE HOST: this is
+    # bit-comparable to the reference's float64 Numba kernels (no f32
+    # accelerator rounding in the selection) and avoids paying a
+    # host->device->host round trip per call — critical on remote-attached
+    # accelerators. Batched device execution lives in MFModel.fit /
+    # exhaustive_nnls_blocks.
+    return _solve_exhaustive_host(A, y, dicsizes)
 
-    st_ind = np.zeros(Nvars, dtype=np.int64)
-    st_ind[1:] = np.cumsum(dicsizes)[:-1]
-    blocks = tuple(
-        jnp.asarray(A[np.newaxis, :, st_ind[k]:st_ind[k] + dicsizes[k]])
-        for k in range(Nvars))
-    w, ind, min_obj = exhaustive_nnls_blocks(blocks, jnp.asarray(y[np.newaxis]))
-    w = np.asarray(w[0], dtype=np.float64)
-    ind_subdic = np.asarray(ind[0], dtype=np.int32)
-    min_obj = float(min_obj[0])
-    ind_totdic = (st_ind + ind_subdic).astype(np.int32)
-    y_recons = A[:, ind_totdic] @ w
-    if Nvars == 1:
-        # reference returns scalars wrapped as arrays for K=1
-        return (w, ind_subdic, ind_totdic, min_obj, y_recons)
-    return (w, ind_subdic, ind_totdic, min_obj, y_recons)
+
+def _solve_exhaustive_host(A, y, dicsizes):
+    """Vectorized float64 exhaustive solve on the host (K <= 4).
+
+    Same closed-form case analysis as the device kernels (lsqnonneg_*
+    with xp=numpy), evaluated over the full candidate grid in float64;
+    candidate ranking and strict-improvement tie-breaking match the
+    reference loop orders (mf_utils.py:252-273, 329-386, 540-601, 637).
+    """
+    K = dicsizes.size
+    st = np.zeros(K, dtype=np.int64)
+    st[1:] = np.cumsum(dicsizes)[:-1]
+    blocks = [A[:, st[k]:st[k] + dicsizes[k]] for k in range(K)]
+    y_sq = float(y @ y)
+    Yk = [b.T @ y for b in blocks]
+    dk = [np.einsum("sn,sn->n", b, b) for b in blocks]
+
+    if K == 1:
+        w, res = lsqnonneg_1var(y_sq, dk[0], Yk[0], xp=np)
+        i = int(np.argmin(_sanitize(res, np)))
+        w_out = np.array([w[i]])
+        ind = np.array([i], dtype=np.int32)
+        min_obj = float(res[i])
+    elif K == 2:
+        G12 = blocks[0].T @ blocks[1]
+        w1, w2, res = lsqnonneg_2var(
+            y_sq, dk[0][:, None], G12, dk[1][None, :],
+            Yk[0][:, None], Yk[1][None, :], xp=np)
+        flat = int(np.argmin(res))
+        i1, i2 = divmod(flat, int(dicsizes[1]))
+        w_out = np.array([w1[i1, i2], w2[i1, i2]])
+        ind = np.array([i1, i2], dtype=np.int32)
+        min_obj = float(res[i1, i2])
+    elif K == 3:
+        G12 = blocks[0].T @ blocks[1]
+        G13 = blocks[0].T @ blocks[2]
+        G23 = blocks[1].T @ blocks[2]
+        N1, N2, N3 = (int(n) for n in dicsizes)
+        best = (y_sq, 0, None)
+        for i3 in range(N3):                      # reference order: i3 outer
+            w1, w2, w3, res = lsqnonneg_3var(
+                y_sq, dk[0][:, None], dk[1][None, :], dk[2][i3],
+                G12, G13[:, i3][:, None], G23[None, :, i3],
+                Yk[0][:, None], Yk[1][None, :], Yk[2][i3], xp=np)
+            flat = int(np.argmin(res))
+            i1, i2 = divmod(flat, N2)
+            if res[i1, i2] < best[0]:
+                best = (float(res[i1, i2]), i3,
+                        (w1[i1, i2], w2[i1, i2], w3[i1, i2], i1, i2))
+        min_obj, i3, (w1v, w2v, w3v, i1, i2) = best
+        w_out = np.array([w1v, w2v, w3v])
+        ind = np.array([i1, i2, i3], dtype=np.int32)
+    else:  # K == 4: Schur sweeps over the small trailing blocks
+        N1, N2, N3, N4 = (int(n) for n in dicsizes)
+        nb = [b / np.sqrt(d)[None, :] for b, d in zip(blocks, dk)]
+        yn = y / np.sqrt(y_sq) if y_sq > 0 else y
+        Ykn = [b.T @ yn for b in nb]
+        G12 = nb[0].T @ nb[1]
+        G13, G14 = nb[0].T @ nb[2], nb[0].T @ nb[3]
+        G23, G24 = nb[1].T @ nb[2], nb[1].T @ nb[3]
+        G34 = nb[2].T @ nb[3]
+        tol = 100 * np.finfo(np.float64).eps
+        best_res = np.full((N1, N2), y_sq)
+        best_s = np.zeros((N1, N2), dtype=np.int64)
+        for s in range(N3 * N4):
+            i3, i4 = divmod(s, N4)
+            res_s = _nnls4_sweep_res(
+                G12, G13[:, i3][:, None], G14[:, i4][:, None],
+                G23[None, :, i3], G24[None, :, i4], G34[i3, i4],
+                Ykn[0][:, None], Ykn[1][None, :], Ykn[2][i3], Ykn[3][i4],
+                tol, xp=np) * y_sq
+            upd = res_s < best_res
+            best_res[upd] = res_s[upd]
+            best_s[upd] = s
+        flat = int(np.argmin(best_res))           # product order (i1-major)
+        i1, i2 = divmod(flat, N2)
+        i3, i4 = divmod(int(best_s[i1, i2]), N4)
+        cols = np.stack([blocks[0][:, i1], blocks[1][:, i2],
+                         blocks[2][:, i3], blocks[3][:, i4]], axis=1)
+        G = cols.T @ cols
+        Yc = cols.T @ y
+        w1, w2, w3, w4, min_obj = lsqnonneg_4var(
+            y_sq, tuple(tuple(G[a, b_] for b_ in range(4))
+                        for a in range(4)), tuple(Yc), xp=np)
+        w_out = np.array([w1, w2, w3, w4])
+        ind = np.array([i1, i2, i3, i4], dtype=np.int32)
+        min_obj = float(min_obj)
+
+    ind_totdic = (st + ind).astype(np.int32)
+    y_recons = A[:, ind_totdic] @ w_out
+    return (w_out, ind, ind_totdic, min_obj, y_recons)
 
 
 def solve_exhaustive_posweights_1(A, y):
