@@ -23,7 +23,7 @@ import numpy as np
 NUM_ATOM = 782
 N_VOX_BATCH = 2048
 N_BATCHES = 5
-CHUNK = 256
+CHUNK = 512
 
 
 def _tpu_throughput(wl):

@@ -131,6 +131,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     """
     from ..ops import interp as interp_mod
     from ..ops import dfscan
+    from ..ops import pallas_nnls as pk_mod
     from ..parallel import mesh as pmesh
     from . import refine as refine_mod
     del interpret
@@ -184,8 +185,15 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 D[:, 0], D[:, 1], a3, a4, yy_c, M=topm)
         elif csf_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
-            cand2, res2, _ysq = dfscan.df3_candidates(D[:, 0], D[:, 1],
-                                                      a3, yy_c, M=topm)
+            if jax.default_backend() == "tpu" and mesh is None:
+                # fused kernel: int8 Gram + compensated chain in VMEM
+                from ..ops import pallas_dfscan as pdf
+                rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], a3, yy_c)
+                cand2, res2 = pk_mod.candidates_from_rows(
+                    rr, ri, topm, segments=pdf.n_segments(D.shape[3]))
+            else:
+                cand2, res2, _ysq = dfscan.df3_candidates(
+                    D[:, 0], D[:, 1], a3, yy_c, M=topm)
         else:
             cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
                                                       yy_c, M=topm)
@@ -199,7 +207,10 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     obj_b = np.zeros(n)
     r2_b = np.zeros(n)
 
-    group = 4  # chunks pulled + refined together
+    # chunks pulled + refined together: each pull pays the device->host
+    # latency once (severe over remote-attached TPUs), so scale the group
+    # with the bucket while keeping a few groups for refine/compute overlap
+    group = max(4, len(cands_d) // 4)
     for g0 in range(0, len(cands_d), group):
         g1 = min(g0 + group, len(cands_d))
         g_st = g0 * batch

@@ -494,7 +494,7 @@ class MFModel(object):
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :6], y_roi[idx], sig_csf,
                     K, has_csf, batch=batch if mesh is not None
-                    else (batch_size or 256), topm=topm,
+                    else (batch_size or 512), topm=topm,
                     interpret=pallas_interpret, rotator=rotator,
                     sig_ear=sig_ear, ear_on=has_ear, mesh=mesh)
             else:

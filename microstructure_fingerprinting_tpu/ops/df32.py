@@ -18,7 +18,9 @@ elementwise (non-MXU) ops; XLA does not reassociate floating point.
 
 import jax.numpy as jnp
 
-_SPLITTER = jnp.float32(4097.0)  # 2^12 + 1 (Dekker split for f32)
+# 2^12 + 1 (Dekker split for f32); a plain python float so jitted users —
+# including pallas kernels, which cannot capture array constants — inline it
+_SPLITTER = 4097.0
 
 
 def two_sum(a, b):
@@ -85,6 +87,24 @@ def df_mul(x, y):
     p, e = two_prod(x[0], y[0])
     e = e + (x[0] * y[1] + x[1] * y[0])
     return fast_two_sum(p, e)
+
+
+def presplit(x):
+    """df (hi, lo) -> (hi, lo, hi_h, hi_l) with the hi half Dekker-split.
+
+    Splitting is hoisted to per-row/per-column factors so the per-grid-point
+    products (mul_ps) cost ~12 flops instead of ~28.
+    """
+    hh, hl = split(x[0])
+    return (x[0], x[1], hh, hl)
+
+
+def mul_ps(x, y):
+    """Product of two presplit df values -> (main, err) partial pair."""
+    p = x[0] * y[0]
+    e = ((x[2] * y[2] - p) + x[2] * y[3] + x[3] * y[2]) + x[3] * y[3]
+    e = e + (x[0] * y[1] + x[1] * y[0])
+    return p, e
 
 
 def compensated_dot_pairs(pairs):

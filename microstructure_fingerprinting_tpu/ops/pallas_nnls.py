@@ -444,11 +444,12 @@ def rescore_direct(D, sig_csf, sig_ear, y, cand, vals, M=16,
     return cand_out, res_out, w_out
 
 
-def candidates_from_rows(row_res, row_i2, M):
+def candidates_from_rows(row_res, row_i2, M, segments=_SEGMENTS):
     """Top-M (row, segment) minima -> ((B, M, 2) [i1, i2] candidates,
     (B, M) residual values) (XLA, cheap). Input is the flattened
-    (B, Q*N1p) per-row-per-segment minima from row_scan_{2,3}."""
-    n1p = row_res.shape[1] // _SEGMENTS
+    (B, Q*N1p) per-row-per-segment minima from row_scan_{2,3} or the
+    fused df scan (which may use a different segment count)."""
+    n1p = row_res.shape[1] // segments
     negv, flat = lax.top_k(-row_res, M)
     i1 = flat % n1p
     i2 = jnp.take_along_axis(row_i2, flat, axis=1)

@@ -105,6 +105,30 @@ def test_dfscan_matches_oracle(rng, csf):
             "voxel %d: %s vs oracle %s" % (b, tuple(cand[b, 0]), ij)
 
 
+def test_pallas_df3_kernel_matches_xla(rng):
+    """Fused Pallas df3 kernel (interpret mode) == XLA df3 scan, including
+    the column-blocked large-N2 path."""
+    from microstructure_fingerprinting_tpu.ops import pallas_dfscan as pdf
+    from microstructure_fingerprinting_tpu.ops import pallas_nnls as pk
+    for (B, S, N1, N2) in ((3, 40, 70, 60), (2, 24, 140, 600)):
+        A1 = np.float32(rng.randn(B, S, N1))
+        A2 = np.float32(rng.randn(B, S, N2))
+        a3 = np.float32(np.abs(rng.randn(B, S, 1)) + 0.05)
+        y = np.float32(rng.randn(B, S))
+        rr, ri, ysq = pdf.row_scan_df3(jnp.asarray(A1), jnp.asarray(A2),
+                                       jnp.asarray(a3), jnp.asarray(y),
+                                       interpret=True)
+        cand, vals = pk.candidates_from_rows(rr, ri, 4,
+                                             segments=pdf.n_segments(N2))
+        cand0, vals0, _ = dfscan.df3_candidates(
+            jnp.asarray(A1), jnp.asarray(A2), jnp.asarray(a3),
+            jnp.asarray(y), M=4)
+        assert np.all(np.asarray(cand)[:, 0] == np.asarray(cand0)[:, 0])
+        np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                                   np.asarray(vals0)[:, 0],
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_dfscan_resolves_sub_f32_gaps(rng):
     """Two atom pairs whose residuals differ by ~1e-9 * ||y||^2 — far below
     the plain f32 scan's ~1e-7 resolution — must be ranked correctly."""
