@@ -110,9 +110,46 @@ def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
     return mfn.exhaustive_candidates_blocks(tuple(blocks), y, M=M)
 
 
+@partial(jax.jit, static_argnames=("csf_on", "ear_on"))
+def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
+                   ear_on=False):
+    """Device finalize of the double-float scan winner.
+
+    The compensated candidate scan (ops/dfscan) already selects the exact
+    (float64-grade) winning support, so the only remaining work is the
+    winner's weights and quality metrics. This computes them on device with
+    the double-float small solver (ops/dfscan.df_nnls_cols: exact Grams +
+    closed-form solves with df values) — replacing the reference's float64
+    host re-solve (mf.py:430-450) without a host round-trip per bucket
+    chunk, at matching (~1e-11 relative) accuracy.
+
+    Args:
+      D (B, 2, S, N) rotated fascicle blocks (raw scale); sig_csf (S,),
+      sig_ear (S, E) (unused unless the flag is set); y (B, S) raw;
+      cand (B, C') int32 winner ([i1, i2] or [i1, i2, i3, i4]).
+    Returns (w (B, C), obj (B,), r2 (B,)) with C = 2 + csf_on + ear_on.
+    """
+    from ..ops import dfscan
+    B, S = y.shape
+    cols = [jnp.take_along_axis(D[:, 0], cand[:, None, 0:1], axis=2),
+            jnp.take_along_axis(D[:, 1], cand[:, None, 1:2], axis=2)]
+    if csf_on:
+        cols.append(jnp.broadcast_to(sig_csf[None, :, None], (B, S, 1)))
+    if ear_on:
+        cols.append(jnp.take_along_axis(
+            jnp.broadcast_to(sig_ear[None], (B,) + sig_ear.shape),
+            cand[:, None, -1:], axis=2))
+    cols = jnp.concatenate(cols, axis=2)                     # (B, S, C)
+    w, res = dfscan.df_nnls_cols(cols, y)
+    y_rec = jnp.einsum("bsc,bc->bs", cols, w)
+    r2 = _r_squared(y, y_rec)
+    return w, res, r2
+
+
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
-                    rotator=None, sig_ear=None, ear_on=False, mesh=None):
+                    rotator=None, sig_ear=None, ear_on=False, mesh=None,
+                    device_finalize=None):
     """Fast path for the 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
@@ -128,6 +165,12 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     Returns NumPy (w, ind, min_obj, mse, r2) like run_bucket.
     ``interpret`` is accepted for API compatibility (the df scans are plain
     XLA and run identically on CPU).
+
+    ``device_finalize`` (default: auto — on for the TPU backend) computes
+    the winner's weights/objective/R^2 on device (_finalize_top1) and pulls
+    one small result set per bucket; off, the top-M pool is re-scored in
+    float64 on the host (models/refine.py — bit-level reference parity,
+    used for the x64 CPU test path).
     """
     from ..ops import interp as interp_mod
     from ..ops import dfscan
@@ -135,6 +178,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     from ..parallel import mesh as pmesh
     from . import refine as refine_mod
     del interpret
+    if device_finalize is None:
+        device_finalize = jax.default_backend() == "tpu"
     assert K == 2, "fast path covers the 2-fascicle configurations"
     assert not ear_on or csf_on, \
         "the 4-block scan covers the CSF+EAR configuration"
@@ -170,7 +215,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # (ops/dfscan) resolves residual gaps to ~1e-10 * ||y||^2 on its own,
     # so its top-1 already matches float64 selection and host re-scoring
     # runs at depth 1 for almost every voxel.
-    cands_d, vals_d = [], []
+    cands_d, vals_d, fin_d = [], [], []
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
         yy_c = lax.dynamic_slice_in_dim(y_d, st, batch, axis=0)
@@ -197,8 +242,40 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         else:
             cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
                                                       yy_c, M=topm)
-        cands_d.append(cand2)
-        vals_d.append(res2)
+        if device_finalize:
+            w_c, obj_c, r2_c = _finalize_top1(
+                D, csf_d, ear_d, yy_c, cand2[:, 0],
+                csf_on=bool(csf_on), ear_on=bool(ear_on))
+            fin_d.append((cand2[:, 0], w_c, obj_c, r2_c))
+        else:
+            cands_d.append(cand2)
+            vals_d.append(res2)
+
+    if device_finalize:
+        # ONE device->host pull of the per-voxel results for the whole
+        # bucket: the exact-selection scan leaves nothing to re-rank, so the
+        # host's only job is assembling the output arrays.
+        ind2 = np.asarray(jnp.concatenate([f[0] for f in fin_d]))[:n]
+        w_b = np.asarray(jnp.concatenate([f[1] for f in fin_d]))[:n]
+        obj_b = np.asarray(jnp.concatenate([f[2] for f in fin_d]))[:n]
+        r2_b = np.asarray(jnp.concatenate([f[3] for f in fin_d]))[:n]
+        # the df quadratic form can round a noiseless voxel's residual a few
+        # ulp below zero; a reported objective is never negative
+        obj_b = np.maximum(obj_b, 0.0)
+        n_atom = tables_ys.shape[2]
+        ind2 = np.clip(ind2, 0, n_atom - 1)
+        if ear_on:
+            ind2[:, 3] = np.clip(ind2[:, 3], 0, E - 1)
+            # an unused EAR block leaves the residual independent of the
+            # ear atom: report the first index like the reference's
+            # first-minimum enumeration (mf_utils.py:637 product order)
+            ind2[w_b[:, 3] <= 0, 3] = 0
+        if csf_on and not ear_on:
+            ind2 = np.concatenate(
+                [ind2, np.zeros((n, 1), np.int32)], axis=1)
+        return (w_b.astype(np.float64), ind2.astype(np.int32),
+                obj_b.astype(np.float64), obj_b.astype(np.float64) / S,
+                r2_b.astype(np.float64))
 
     noise = config.DEFAULTS["solver"].direct_noise
     y64 = y.astype(np.float64)

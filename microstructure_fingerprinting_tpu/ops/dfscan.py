@@ -338,7 +338,8 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
         fb = jnp.where(r23c < fb, r23c, fb)
 
         res = jnp.where(full, _sanit(res123), fb)
-        i1 = st + lax.broadcasted_iota(jnp.int32, (tile, N2), 0)
+        i1 = jnp.int32(st) + lax.broadcasted_iota(jnp.int32, (tile, N2),
+                                                  0)
         res = jnp.where((i1 < N1)[None], res, jnp.inf)
         gflat = jnp.broadcast_to(
             (i1 * N2 + lax.broadcasted_iota(jnp.int32, (tile, N2),
@@ -350,7 +351,12 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    # static unroll, NOT lax.scan: XLA CPU mis-evaluates the compensated
+    # double-float chains inside scan bodies (see df4_candidates note)
+    carry = init
+    for _t in range(n_tiles):
+        carry, _ = body(carry, _t)
+    (vals, flats) = carry
     cand = jnp.stack([flats // N2, flats % N2], axis=2).astype(jnp.int32)
     return cand, vals, yn * yn
 
@@ -423,7 +429,7 @@ def df2_candidates(A1, A2, y, M=8, tile=256):
         res1_t = sl(res1_row)[:, :, None]
         res, _ = _two_var_cases(res12, w1D, w2D, ptf, qcf,
                                 res1_t, res2_col[:, None, :], wf)
-        i1 = st.astype(jnp.int32) + lax.broadcasted_iota(
+        i1 = jnp.int32(st) + lax.broadcasted_iota(
             jnp.int32, (tile, N2), 0)
         res = jnp.where((i1 < N1)[None], res, jnp.inf)
         gflat = jnp.broadcast_to(
@@ -436,7 +442,12 @@ def df2_candidates(A1, A2, y, M=8, tile=256):
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    # static unroll, NOT lax.scan: XLA CPU mis-evaluates the compensated
+    # double-float chains inside scan bodies (see df4_candidates note)
+    carry = init
+    for _t in range(n_tiles):
+        carry, _ = body(carry, _t)
+    (vals, flats) = carry
     cand = jnp.stack([flats // N2, flats % N2], axis=2).astype(jnp.int32)
     return cand, vals, yn * yn
 
@@ -538,12 +549,12 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
     with double-float selection.
 
     The small trailing blocks (N3 * N4 sweeps, typically 1 x 10) are
-    eliminated per sweep by a double-float Schur reduction at the per-row /
-    per-column level (vectorized over all sweeps at once); the per-point
-    grid work runs as a lax.scan over sweeps whose body evaluates one
-    reduced bordered 3x3 determinant ({1,2,3,4}) and one quadratic-in-g12
-    bordered 4x4 ({1,2,4}); supports not containing both grid variables are
-    hoisted. Candidate rank follows itertools.product order
+    handled per sweep: the {1,2,3,4} support is evaluated by a guarded LDL'
+    elimination in the order (csf, ear, fasc1, fasc2) with all row/column
+    factors hoisted (stable for the near-collinear (csf, ear) pairs of real
+    dictionaries), the {1,2,4} support by the quadratic-in-g12 bordered
+    determinant; supports not containing both grid variables are hoisted.
+    Sweeps are statically unrolled (NOT lax.scan; see the in-body note). Candidate rank follows itertools.product order
     ((i1, i2, i3, i4) lexicographic, reference mf_utils.py:637).
     Returns (cand (B, M, 4) int32, res (B, M) normalized residuals,
     y_sq (B,) raw)."""
@@ -585,7 +596,17 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
     w_ = df_gram(qy, qy, "bs,bs->b")
     w_ = (w_[0][:, None], w_[1][:, None])
 
-    # ---- Schur pieces for ALL sweeps at once, axes (B, ., N3, N4) ----
+    # ---- LDL' elimination hoists for the 4-support, axes (B,.,N3,N4) ----
+    # The {1,2,3,4} residual is evaluated by symmetric LDL' elimination in
+    # the order (csf, ear, fasc1, fasc2): every division is by a pivot
+    # guarded relative to ITS OWN diagonal, so the ubiquitous near-collinear
+    # (csf, ear) pairs of real dictionaries never amplify the double-float
+    # error. (A Schur reduction by det(G_{34}) — dividing O(1) quantities by
+    # a near-vanishing block determinant — was measured to corrupt support
+    # residuals to ~1e-6 * ||y||^2 on fingerprint-like columns.) A pivot
+    # below its guard marks the support infeasible; collinearity then
+    # guarantees a sub-support that IS evaluated approaches the same
+    # residual, so the scan's minimum is unaffected beyond ~1e-9.
     ax = lambda x, sh: (x[0].reshape(sh), x[1].reshape(sh))
     d3e = ax(d3, (B, 1, N3, 1))
     d4e = ax(d4, (B, 1, 1, N4))
@@ -593,18 +614,21 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
     r4e = ax(r4, (B, 1, 1, N4))
     ge = ax(g34, (B, 1, N3, N4))
     w4 = ax(w_, (B, 1, 1, 1))
-    det_f = _add(_mul(d3e, d4e), _neg(_mul(ge, ge)))
-    u3 = _df_div(_add(_mul(d4e, r3e), _neg(_mul(ge, r4e))), det_f)
-    u4 = _df_div(_add(_mul(d3e, r4e), _neg(_mul(ge, r3e))), det_f)
-    w_hat = _add(w4, _neg(_mul(r3e, u3)), _neg(_mul(r4e, u4)))
-    detf_ok = _val(det_f) > _TOL * _val(d3e) * _val(d4e)   # (B,1,N3,N4)
 
-    def schur_side(dX, pX, gX3, gX4):
-        tX3 = _df_div(_add(_mul(d4e, gX3), _neg(_mul(ge, gX4))), det_f)
-        tX4 = _df_div(_add(_mul(d3e, gX4), _neg(_mul(ge, gX3))), det_f)
-        g_hat = _add(dX, _neg(_mul(gX3, tX3)), _neg(_mul(gX4, tX4)))
-        b_hat = _add(pX, _neg(_mul(gX3, u3)), _neg(_mul(gX4, u4)))
-        return tX3, tX4, g_hat, b_hat
+    one_df = lambda x: (jnp.ones_like(x[0]), jnp.zeros_like(x[0]))
+    df_where = lambda c, x, y: (jnp.where(c, x[0], y[0]),
+                                jnp.where(c, x[1], y[1]))
+    safe_recip = lambda x, ok: _df_div(
+        one_df(x), df_where(ok, x, one_df(x)))
+
+    invd3 = _df_div(one_df(d3e), d3e)                      # (B,1,N3,1)
+    L43 = _mul(ge, invd3)                                  # (B,1,N3,N4)
+    D4h = _add(d4e, _neg(_mul(ge, L43)))                   # ear pivot
+    ok34 = _val(D4h) > _TOL * _val(d4e)                    # (B,1,N3,N4)
+    invD4h = safe_recip(D4h, ok34)
+    t4 = _add(r4e, _neg(_mul(L43, r3e)))                   # (B,1,N3,N4)
+    rho34 = _add(w4, _neg(_mul(_mul(r3e, r3e), invd3)),
+                 _neg(_mul(_mul(t4, t4), invD4h)))         # y after (3,4)
 
     d1e = ax(d1, (B, N1p, 1, 1))
     p1e = ax(p_, (B, N1p, 1, 1))
@@ -614,8 +638,34 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
     q2e = ax(q_, (B, N2, 1, 1))
     c3e = ax(c3, (B, N2, N3, 1))
     c4e = (c4[0][:, :, None, :], c4[1][:, :, None, :])
-    t13, t14, g11h, b1h = schur_side(d1e, p1e, b3e, b4e)  # (B,N1p,N3,N4)
-    t23, t24, g22h, b2h = schur_side(d2e, q2e, c3e, c4e)  # (B,N2,N3,N4)
+
+    # fasc1 (row) elimination pieces, (B, N1p, N3, N4)
+    L13 = _mul(b3e, invd3)
+    e4r = _add(b4e, _neg(_mul(L43, b3e)))
+    L14 = _mul(e4r, invD4h)
+    D1h = _add(d1e, _neg(_mul(b3e, L13)), _neg(_mul(e4r, L14)))
+    rowok = _val(D1h) > _TOL * _val(d1e)
+    invD1h = safe_recip(D1h, rowok)
+    pi1 = _add(p1e, _neg(_mul(L13, r3e)), _neg(_mul(L14, t4)))
+    kap1 = _mul(pi1, invD1h)
+    rho1 = _add(rho34, _neg(_mul(pi1, kap1)))
+
+    # fasc2 (column) elimination pieces, (B, N2, N3, N4)
+    L23 = _mul(c3e, invd3)
+    e4c = _add(c4e, _neg(_mul(L43, c3e)))
+    L24 = _mul(e4c, invD4h)
+    d2r = _add(d2e, _neg(_mul(c3e, L23)), _neg(_mul(e4c, L24)))
+    q2r = _add(q2e, _neg(_mul(L23, r3e)), _neg(_mul(L24, t4)))
+
+    # f32 pieces for the feasibility back-substitution
+    bc = lambda x, inner: jnp.broadcast_to(x, (B, inner, N3, N4))
+    bc_df = lambda x, inner: (bc(x[0], inner), bc(x[1], inner))
+    u3f = bc(_val(_mul(r3e, invd3)), 1)                    # (B,1,N3,N4)
+    u4f = _val(_mul(t4, invD4h))
+    L43f = _val(L43)
+    L13f = bc(_val(L13), N1p)                              # (B,N1p,N3,N4)
+    L14f = _val(L14)
+    b3x = bc_df(b3e, N1p)                                  # (B,N1p,N3,N4)
 
     # hoisted supports not containing both grid variables
     r_fix = jnp.minimum(_sub1_df(d3e, r3e, w4), _sub1_df(d4e, r4e, w4))
@@ -640,22 +690,24 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
         return (sweep_first(x[0], inner), sweep_first(x[1], inner))
 
     xs_sweep = dict(
-        t13=sweep_df(t13, N1p), t14=sweep_df(t14, N1p),
-        g11h=sweep_df(g11h, N1p), b1h=sweep_df(b1h, N1p),
-        t23=sweep_df(t23, N2), t24=sweep_df(t24, N2),
-        g22h=sweep_df(g22h, N2), b2h=sweep_df(b2h, N2),
-        u3=sweep_df(u3, 1), u4=sweep_df(u4, 1),
-        w_hat=sweep_df(w_hat, 1), detf_ok=sweep_first(detf_ok, 1),
+        # LDL' pieces for the {1,2,3,4} support
+        b3sw=sweep_df(b3x, N1p), e4r=sweep_df(e4r, N1p),
+        kap1=sweep_df(kap1, N1p), invD1h=sweep_df(invD1h, N1p),
+        rho1=sweep_df(rho1, N1p),
+        rowok=sweep_first(rowok, N1p), L13f=sweep_first(L13f, N1p),
+        L14f=sweep_first(L14f, N1p),
+        L23=sweep_df(bc_df(L23, N2), N2), L24=sweep_df(L24, N2),
+        d2r=sweep_df(d2r, N2), q2r=sweep_df(q2r, N2),
+        ok34=sweep_first(ok34, 1), u3f=sweep_first(u3f, 1),
+        u4f=sweep_first(u4f, 1), L43f=sweep_first(L43f, 1),
+        # hoisted fixed/row/col sub-support minima
         r_row=sweep_first(r_row, N1p), r_col=sweep_first(r_col, N2),
         r_fix=sweep_first(r_fix, 1),
-        d4s=sweep_df((jnp.broadcast_to(d4e[0], (B, 1, N3, N4)),
-                      jnp.broadcast_to(d4e[1], (B, 1, N3, N4))), 1),
-        r4s=sweep_df((jnp.broadcast_to(r4e[0], (B, 1, N3, N4)),
-                      jnp.broadcast_to(r4e[1], (B, 1, N3, N4))), 1),
-        b4s=sweep_df((jnp.broadcast_to(b4e[0], (B, N1p, N3, N4)),
-                      jnp.broadcast_to(b4e[1], (B, N1p, N3, N4))), N1p),
-        c4s=sweep_df((jnp.broadcast_to(c4e[0], (B, N2, N3, N4)),
-                      jnp.broadcast_to(c4e[1], (B, N2, N3, N4))), N2),
+        # {1,2,4} support operands
+        d4s=sweep_df(bc_df(d4e, 1), 1),
+        r4s=sweep_df(bc_df(r4e, 1), 1),
+        b4s=sweep_df(bc_df(b4e, N1p), N1p),
+        c4s=sweep_df(bc_df(c4e, N2), N2),
         s_idx=jnp.arange(NS, dtype=jnp.int32),
     )
 
@@ -700,41 +752,44 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
             tsl = lambda x: (sl(x[0])[:, :, None], sl(x[1])[:, :, None])
             csl = lambda x: (x[0][:, None, :], x[1][:, None, :])
             esl = lambda x: (x[0][:, :, None], x[1][:, :, None])
-            t13s, t14s = tsl(sw["t13"]), tsl(sw["t14"])
-            g11s, b1s = tsl(sw["g11h"]), tsl(sw["b1h"])
-            t23s, t24s = csl(sw["t23"]), csl(sw["t24"])
-            g22s, b2s = csl(sw["g22h"]), csl(sw["b2h"])
-            w_hs = esl(sw["w_hat"])
             # support {1,2,4}
             r124 = _sub3_point(aa, d1t, d2c, esl(sw["d4s"]),
                                tsl(sw["b4s"]), csl(sw["c4s"]),
                                pt, qc, esl(sw["r4s"]), wv)
 
             i3 = sw["s_idx"] // N4
-            c3_sw = (jnp.take(c3[0], i3, axis=2),
-                     jnp.take(c3[1], i3, axis=2))         # (B, N2)
-            g12h = _add(aa, _neg(_mul(t13s, csl(c3_sw))),
-                        _neg(_mul(t14s, csl(sw["c4s"]))))
-            num = _accumulate([
-                _dfm(g11s, g22s, w_hs), _neg(_dfm(g12h, g12h, w_hs)),
-                _scale(_dfm(g12h, b1s, b2s), 2.0),
-                _neg(_dfm(g11s, b2s, b2s)), _neg(_dfm(g22s, b1s, b1s))])
-            g11f, g22f, g12f = _val(g11s), _val(g22s), _val(g12h)
-            b1f, b2f = _val(b1s), _val(b2s)
-            det2 = g11f * g22f - g12f * g12f
-            n1 = b1f * g22f - b2f * g12f
-            n2 = b2f * g11f - b1f * g12f
-            safe = jnp.where(det2 != 0, det2, 1.0)
-            w1f, w2f = n1 / safe, n2 / safe
-            w3f = (_val(esl(sw["u3"])) - w1f * _val(t13s)
-                   - w2f * _val(t23s))
-            w4f = (_val(esl(sw["u4"])) - w1f * _val(t14s)
-                   - w2f * _val(t24s))
-            feas = (sw["detf_ok"][:, :, None] & (g11f > 0)
-                    & (det2 > _TOL * g11f * g22f) & (n1 >= 0) & (n2 >= 0)
-                    & (w3f >= 0) & (w4f >= 0))
-            r1234 = jnp.where(feas, num / jnp.where(feas, det2, 1.0),
-                              jnp.inf)
+            # support {1,2,3,4}: finish the hoisted LDL' elimination at the
+            # (i1, i2) grid point — NUM is the reduced g12 cross term, D2h
+            # the final (fasc2) pivot, pi2 the reduced correlation
+            b3s, e4rs = tsl(sw["b3sw"]), tsl(sw["e4r"])
+            kap1s = tsl(sw["kap1"])
+            invD1s = tsl(sw["invD1h"])
+            rho1s = tsl(sw["rho1"])
+            L23s, L24s = csl(sw["L23"]), csl(sw["L24"])
+            NUM = _add(aa, _neg(_mul(b3s, L23s)), _neg(_mul(e4rs, L24s)))
+            D2h = _add(csl(sw["d2r"]), _neg(_mul(_mul(NUM, NUM), invD1s)))
+            pi2 = _add(csl(sw["q2r"]), _neg(_mul(NUM, kap1s)))
+            pointok = _val(D2h) > _TOL * _val(d2c)
+            D2h_safe = (jnp.where(pointok, D2h[0], 1.0),
+                        jnp.where(pointok, D2h[1], 0.0))
+            res1234 = _val(_add(
+                rho1s, _neg(_df_div(_mul(pi2, pi2), D2h_safe))))
+            # feasibility: back-substitute the four weights in f32
+            pi2f = _val(pi2)
+            w_b2 = pi2f / _val(D2h_safe)
+            L21f = _val(NUM) * _val(invD1s)
+            w_b1 = _val(kap1s) - L21f * w_b2
+            L14fs = sl(sw["L14f"])[:, :, None]
+            L24f = _val(L24s)
+            w_e4 = sw["u4f"][:, :, None] - L14fs * w_b1 - L24f * w_b2
+            L13fs = sl(sw["L13f"])[:, :, None]
+            L23f = _val(L23s)
+            w_e3 = (sw["u3f"][:, :, None] - sw["L43f"][:, :, None] * w_e4
+                    - L13fs * w_b1 - L23f * w_b2)
+            feas = (sw["ok34"][:, :, None] & sl(sw["rowok"])[:, :, None]
+                    & pointok & (pi2f >= 0) & (w_b1 >= 0)
+                    & (w_e4 >= 0) & (w_e3 >= 0))
+            r1234 = jnp.where(feas, res1234, jnp.inf)
 
             res_s = jnp.minimum(base, jnp.take(r123_st, i3, axis=0))
             res_s = jnp.minimum(res_s, _sanit(r124))
@@ -744,12 +799,19 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
             res_s = jnp.minimum(res_s, sw["r_fix"][:, :, None])
             res_s = _sanit(res_s)
             upd = res_s < best
-            return ((jnp.where(upd, res_s, best),
-                     jnp.where(upd, sw["s_idx"], best_s)), None)
+            return (jnp.where(upd, res_s, best),
+                    jnp.where(upd, sw["s_idx"], best_s))
 
-        (best, best_s), _ = lax.scan(sweep_eval, (best, best_s), xs_sweep)
+        # NS is small and static: a python unroll, NOT lax.scan — XLA's
+        # CPU backend was measured to mis-evaluate the compensated
+        # double-float chains inside scan bodies (constant offsets ~1e-5 *
+        # ||y||^2 on the support residuals; the identical graph unrolled
+        # evaluates exactly). Unrolling costs compile time linear in NS.
+        for _s in range(NS):
+            sw_s = jax.tree_util.tree_map(lambda x: x[_s], xs_sweep)
+            best, best_s = sweep_eval((best, best_s), sw_s)
 
-        i1 = (st.astype(jnp.int32)
+        i1 = (jnp.int32(st)
               + lax.broadcasted_iota(jnp.int32, (tile, N2), 0))
         i2 = lax.broadcasted_iota(jnp.int32, (tile, N2), 1)
         best = jnp.where((i1 < N1)[None], best, jnp.inf)
@@ -757,11 +819,14 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
         vals, flats = carry
         tv, tf = mfn._tile_topm(best.reshape(B, -1),
                                 flat.reshape(B, -1), M)
-        return mfn._merge_topm(vals, flats, tv, tf, M), None
+        return mfn._merge_topm(vals, flats, tv, tf, M)
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
+    carry = init
+    for _t in range(n_tiles):  # static unroll (see sweep-loop note above)
+        carry = body(carry, _t)
+    (vals, flats) = carry
     s = flats % NS
     pt_ = flats // NS
     cand = jnp.stack([pt_ // N2, pt_ % N2, s // N4, s % N4],
@@ -833,3 +898,282 @@ def _two_var_cases(res_full, w1D, w2D, Y1, Y2, res1, res2, y_sq):
                     jnp.where(take1, res1,
                               jnp.where(take2, res2, y_sq)))
     return res, case1
+
+
+# ---------------------------------------------------------------------------
+# Exact small NNLS over gathered columns (the device finalize step)
+# ---------------------------------------------------------------------------
+#
+# MFModel.fit's fast path selects each voxel's winning atom combination with
+# the double-float scans above; what remains is the winner's weights and
+# quality metrics. These helpers re-solve the C<=4-column NNLS exactly on
+# device (double-float Grams via quantize2, closed-form solves with
+# double-float values and f32 decision booleans), replacing the float64
+# host re-solve of models/refine.py (reference mf.py:430-450) without a
+# host round-trip. Decision semantics mirror ops/nnls.lsqnonneg_{2,3,4}var.
+# Support-enumeration robustness: residuals are evaluated with the full
+# quadratic form y'y - 2w'Y + w'Gw, which can only OVERestimate the true
+# NNLS objective at inexact weights — an ill-conditioned support can lose
+# a tie it should win only by ~(df error * condition), never win one.
+
+
+def _df_det2(dA, dB, g):
+    return _add(_mul(dA, dB), _neg(_mul(g, g)))
+
+
+def _df_det3(m):
+    """df determinant of a 3x3 nested df tuple list."""
+    t1 = _mul(m[0][0], _add(_mul(m[1][1], m[2][2]),
+                            _neg(_mul(m[1][2], m[2][1]))))
+    t2 = _mul(m[0][1], _add(_mul(m[1][0], m[2][2]),
+                            _neg(_mul(m[1][2], m[2][0]))))
+    t3 = _mul(m[0][2], _add(_mul(m[1][0], m[2][1]),
+                            _neg(_mul(m[1][1], m[2][0]))))
+    return _add(t1, _neg(t2), t3)
+
+
+def _df_det4(m):
+    """df determinant of a 4x4 nested df tuple list (cofactor row 0)."""
+    out = None
+    for c in range(4):
+        minor = [[m[r][cc] for cc in range(4) if cc != c]
+                 for r in range(1, 4)]
+        term = _mul(m[0][c], _df_det3(minor))
+        if c % 2 == 1:
+            term = _neg(term)
+        out = term if out is None else _add(out, term)
+    return out
+
+
+def _df_cramer(G_S, Y_S):
+    """df Cramer solve of a k x k symmetric system (k <= 4).
+
+    G_S: nested tuple of df scalars; Y_S: tuple of df. Returns (w list of
+    df, det df). Division is unguarded like the reference
+    (ops/nnls._solve_posdef_cramer) — callers reject non-finite weights.
+    """
+    k = len(Y_S)
+    if k == 1:
+        return [_df_div(Y_S[0], G_S[0][0])], G_S[0][0]
+    if k == 2:
+        det = _df_det2(G_S[0][0], G_S[1][1], G_S[0][1])
+        n1 = _add(_mul(Y_S[0], G_S[1][1]), _neg(_mul(G_S[0][1], Y_S[1])))
+        n2 = _add(_mul(G_S[0][0], Y_S[1]), _neg(_mul(Y_S[0], G_S[0][1])))
+        return [_df_div(n1, det), _df_div(n2, det)], det
+    detf = _df_det3 if k == 3 else _df_det4
+    det = detf(G_S)
+    ws = []
+    for j in range(k):
+        mj = [[(Y_S[r] if c == j else G_S[r][c]) for c in range(k)]
+              for r in range(k)]
+        ws.append(_df_div(detf(mj), det))
+    return ws, det
+
+
+def _df_quadres(w_y, G_S, Y_S, w_S):
+    """Full quadratic-form residual y'y - 2 w'Y + w'G w in df (returns df).
+
+    Evaluated at any w this upper-bounds the support's true LS residual, so
+    inexact weights can never make a support spuriously win."""
+    terms = [w_y]
+    k = len(Y_S)
+    for a in range(k):
+        terms.append(_scale(_mul(w_S[a], Y_S[a]), -2.0))
+        terms.append(_mul(_mul(w_S[a], w_S[a]), G_S[a][a]))
+        for b in range(a + 1, k):
+            terms.append(_scale(_mul(_mul(w_S[a], w_S[b]), G_S[a][b]), 2.0))
+    out = terms[0]
+    for t in terms[1:]:
+        out = _add(out, t)
+    return out
+
+
+def _df_nnls2(w_y, dA, dB, g, pA, pB):
+    """df mirror of ops/nnls.lsqnonneg_2var: same case priority, df values.
+    Returns (w1 df, w2 df, res df)."""
+    zero = (jnp.zeros_like(w_y[0]), jnp.zeros_like(w_y[1]))
+    w1D = _add(_mul(dB, pA), _neg(_mul(g, pB)))
+    w2D = _add(_mul(dA, pB), _neg(_mul(g, pA)))
+    det = _df_det2(dA, dB, g)
+    w1f = _df_div(w1D, det)
+    w2f = _df_div(w2D, det)
+    res_f = _df_quadres(w_y, ((dA, g), (g, dB)), (pA, pB), (w1f, w2f))
+    w1o = _df_div(pA, dA)
+    res1 = _df_quadres(w_y, ((dA,),), (pA,), (w1o,))
+    w2o = _df_div(pB, dB)
+    res2 = _df_quadres(w_y, ((dB,),), (pB,), (w2o,))
+
+    c1 = (_val(w1D) > 0) & (_val(w2D) > 0)
+    c2 = ~c1 & (_val(w1D) >= 0) & (_val(w2D) <= 0)
+    c3 = ~c1 & ~c2 & (_val(w1D) <= 0) & (_val(w2D) >= 0)
+    c4 = ~c1 & ~c2 & ~c3 & (_val(w1D) < 0) & (_val(w2D) < 0)
+    t1 = (c2 & (_val(pA) >= 0)) | (c4 & (_val(pA) > 0))
+    t2 = (c3 & (_val(pB) >= 0)) | (c4 & (_val(pA) <= 0) & (_val(pB) > 0))
+
+    dfw = lambda c, x, y: (jnp.where(c, x[0], y[0]),
+                           jnp.where(c, x[1], y[1]))
+    nan2inf = lambda x: (jnp.where(jnp.isnan(x[0]), jnp.inf, x[0]),
+                         jnp.where(jnp.isnan(x[0]), 0.0, x[1]))
+    w1 = dfw(c1, w1f, dfw(t1, w1o, zero))
+    w2 = dfw(c1, w2f, dfw(t2, w2o, zero))
+    res = dfw(c1, nan2inf(res_f), dfw(t1, res1, dfw(t2, res2, w_y)))
+    return w1, w2, res
+
+
+def _df_where_list(c, xs, ys):
+    return [(jnp.where(c, x[0], y[0]), jnp.where(c, x[1], y[1]))
+            for x, y in zip(xs, ys)]
+
+
+def _df_nnls3(w_y, G, p):
+    """df mirror of ops/nnls.lsqnonneg_3var (Cramer sign test + 2-subset
+    fallback chain with first-strictly-better priority).
+    G: 3x3 nested df, p: list of 3 df. Returns (w list of 3 df, res df)."""
+    zero = (jnp.zeros_like(w_y[0]), jnp.zeros_like(w_y[1]))
+    det = _df_det3(G)
+    # Cramer numerators (values df-accurate, decisions f32)
+    nums = []
+    for j in range(3):
+        mj = [[(p[r] if c == j else G[r][c]) for c in range(3)]
+              for r in range(3)]
+        nums.append(_df_det3(mj))
+    D1, D2, D3 = nums
+    w1f = _df_div(D1, det)
+    w2f = _df_div(D2, det)
+    w3f = _df_div(D3, det)
+    tol3 = mfn._TOL3
+    full = ((_val(D1) >= -tol3) & (_val(D2) >= -tol3)
+            & (_val(D3) >= -tol3))
+    res_f = _df_quadres(w_y, G, p, (w1f, w2f, w3f))
+    res_f = (jnp.where(jnp.isnan(res_f[0]), jnp.inf, res_f[0]),
+             jnp.where(jnp.isnan(res_f[0]), 0.0, res_f[1]))
+
+    a12, b12, r12 = _df_nnls2(w_y, G[0][0], G[1][1], G[0][1], p[0], p[1])
+    a13, b13, r13 = _df_nnls2(w_y, G[0][0], G[2][2], G[0][2], p[0], p[2])
+    a23, b23, r23 = _df_nnls2(w_y, G[1][1], G[2][2], G[1][2], p[1], p[2])
+
+    fb_w, fb_r = [a12, b12, zero], r12
+    take13 = _val(r13) < _val(fb_r)
+    fb_w = _df_where_list(take13, [a13, zero, b13], fb_w)
+    fb_r = (jnp.where(take13, r13[0], fb_r[0]),
+            jnp.where(take13, r13[1], fb_r[1]))
+    take23 = _val(r23) < _val(fb_r)
+    fb_w = _df_where_list(take23, [zero, a23, b23], fb_w)
+    fb_r = (jnp.where(take23, r23[0], fb_r[0]),
+            jnp.where(take23, r23[1], fb_r[1]))
+
+    w = _df_where_list(full, [w1f, w2f, w3f], fb_w)
+    res = (jnp.where(full, res_f[0], fb_r[0]),
+           jnp.where(full, res_f[1], fb_r[1]))
+    return w, res
+
+
+def _df_nnls4(w_y, G, p):
+    """df mirror of ops/nnls.lsqnonneg_4var: exhaustive support enumeration
+    (ascending mask order, strict-improvement updates).
+    G: 4x4 nested df, p: list of 4 df. Returns (w list of 4 df, res df)."""
+    zero = (jnp.zeros_like(w_y[0]), jnp.zeros_like(w_y[1]))
+    best_w = [zero, zero, zero, zero]
+    best_r = w_y
+    for mask in range(1, 16):
+        S = [i for i in range(4) if mask >> i & 1]
+        G_S = tuple(tuple(G[r][c] for c in S) for r in S)
+        Y_S = tuple(p[i] for i in S)
+        w_S, _det = _df_cramer(G_S, Y_S)
+        feas = jnp.ones_like(w_y[0], dtype=bool)
+        for wa in w_S:
+            va = _val(wa)
+            feas = feas & (va >= 0) & jnp.isfinite(va)
+        res = _df_quadres(w_y, G_S, Y_S, w_S)
+        rv = jnp.where(feas & ~jnp.isnan(res[0]), res[0], jnp.inf)
+        res = (rv, jnp.where(jnp.isfinite(rv), res[1], 0.0))
+        better = res[0] + res[1] < best_r[0] + best_r[1]
+        new_w = [zero] * 4
+        for wi, i in zip(w_S, S):
+            new_w[i] = wi
+        best_w = _df_where_list(better, new_w, best_w)
+        best_r = (jnp.where(better, res[0], best_r[0]),
+                  jnp.where(better, res[1], best_r[1]))
+    return best_w, best_r
+
+
+def df_nnls_cols(cols, y):
+    """Exact small NNLS across gathered columns, on device.
+
+    cols (B, S, C) f32 raw-scale columns (C <= 4); y (B, S) raw.
+    Returns (w (B, C) f32 raw-scale weights, res (B,) f32 raw residual).
+    Columns and signal are scaled by per-column powers of two (exact in
+    f32), Grams are computed exactly (quantize2 + df_gram), and the
+    closed-form solvers run with double-float values — selections and
+    values match the float64 host solvers (ops/nnls.lsqnonneg_*, xp=numpy)
+    to ~1e-11 relative.
+    """
+    B, S, C = cols.shape
+    assert 1 <= C <= 4
+    if cols.dtype == jnp.float64:
+        # x64 runtime (CPU tests / reference-parity mode): plain float64
+        # Grams + the float64 closed-form solvers ARE exact — no emulation
+        return _nnls_cols_f64(cols, y)
+    cols = cols.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    pow2 = lambda m: jnp.exp2(jnp.ceil(jnp.log2(jnp.maximum(m, 1e-30))))
+    sc = pow2(jnp.max(jnp.abs(cols), axis=1))               # (B, C)
+    sy = pow2(jnp.max(jnp.abs(y), axis=1))                  # (B,)
+    cs = cols / sc[:, None, :]
+    ys = y / sy[:, None]
+    qc = quantize2(cs)
+    qy = quantize2(ys)
+    Gh, Gl = df_gram(qc, qc, "bsi,bsj->bij")
+    ph, pl = df_gram(qc, qy, "bsi,bs->bi")
+    wyh, wyl = df_gram(qy, qy, "bs,bs->b")
+    G = [[(Gh[:, i, j], Gl[:, i, j]) for j in range(C)] for i in range(C)]
+    p = [(ph[:, i], pl[:, i]) for i in range(C)]
+    w_y = (wyh, wyl)
+
+    if C == 1:
+        w0 = _df_div(p[0], G[0][0])
+        pos = _val(p[0]) >= 0
+        res = _df_quadres(w_y, ((G[0][0],),), (p[0],), (w0,))
+        w_list = [(jnp.where(pos, w0[0], 0.0), jnp.where(pos, w0[1], 0.0))]
+        res = (jnp.where(pos, res[0], w_y[0]),
+               jnp.where(pos, res[1], w_y[1]))
+    elif C == 2:
+        w1, w2, res = _df_nnls2(w_y, G[0][0], G[1][1], G[0][1], p[0], p[1])
+        w_list = [w1, w2]
+    elif C == 3:
+        w_list, res = _df_nnls3(w_y, G, p)
+    else:
+        w_list, res = _df_nnls4(w_y, G, p)
+
+    # undo the power-of-two scalings (exact)
+    w = jnp.stack([_val(wi) for wi in w_list], axis=1)
+    w = w * (sy[:, None] / sc)
+    res_raw = _val(res) * (sy * sy)
+    return w, res_raw
+
+
+def _nnls_cols_f64(cols, y):
+    """float64 path of df_nnls_cols (x64 runtimes): same closed-form
+    solvers as the float64 host re-scorer (models/refine._solve_support)."""
+    C = cols.shape[2]
+    hp = dict(precision=lax.Precision.HIGHEST)
+    y_sq = jnp.einsum("bs,bs->b", y, y, **hp)
+    G = [[jnp.einsum("bs,bs->b", cols[:, :, i], cols[:, :, j], **hp)
+          for j in range(C)] for i in range(C)]
+    Y = [jnp.einsum("bs,bs->b", cols[:, :, i], y, **hp) for i in range(C)]
+    if C == 1:
+        w0, res = mfn.lsqnonneg_1var(y_sq, G[0][0], Y[0])
+        return w0[:, None], res
+    if C == 2:
+        w1, w2, res = mfn.lsqnonneg_2var(y_sq, G[0][0], G[0][1], G[1][1],
+                                         Y[0], Y[1])
+        return jnp.stack([w1, w2], axis=1), res
+    if C == 3:
+        w1, w2, w3, res = mfn.lsqnonneg_3var(
+            y_sq, G[0][0], G[1][1], G[2][2], G[0][1], G[0][2], G[1][2],
+            Y[0], Y[1], Y[2])
+        return jnp.stack([w1, w2, w3], axis=1), res
+    ws = mfn.lsqnonneg_4var(
+        y_sq, tuple(tuple(G[i][j] for j in range(4)) for i in range(4)),
+        tuple(Y))
+    return jnp.stack(ws[:4], axis=1), ws[4]

@@ -161,3 +161,131 @@ def test_dfscan_resolves_sub_f32_gaps(rng):
     _w, rn = scipy.optimize.nnls(A, y.astype(np.float64))
     ysq64 = float(y.astype(np.float64) @ y.astype(np.float64))
     assert rn * rn <= obj + 2e-10 * ysq64
+
+
+def _oracle4_grid(A1, A2, a3, A4, y):
+    """f64 full-grid NNLS argmin over (i1, i2, i4) with a CSF block."""
+    best = (np.sum(y.astype(np.float64) ** 2), None)
+    for i in range(A1.shape[1]):
+        for j in range(A2.shape[1]):
+            for e in range(A4.shape[1]):
+                A = np.stack([A1[:, i], A2[:, j], a3[:, 0], A4[:, e]],
+                             axis=1).astype(np.float64)
+                w, rn = scipy.optimize.nnls(A, y.astype(np.float64))
+                if rn * rn < best[0] - 1e-15:
+                    best = (rn * rn, (i, j, 0, e))
+    return best
+
+
+def test_df4_matches_oracle_correlated_ear(rng):
+    """4-block scan vs a full-grid f64 oracle on fingerprint-like data.
+
+    The CSF and EAR columns are decaying exponentials of nearby rates —
+    nearly collinear pairs, exactly the real-dictionary regime. Regression
+    for two historical failure modes: (a) the Schur reduction of the
+    (csf, ear) block dividing by its near-vanishing determinant (residuals
+    corrupted to ~1e-6 * ||y||^2 -> wrong EAR atoms), and (b) XLA CPU
+    mis-evaluating the compensated chains inside lax.scan sweep bodies
+    (constant ~1e-5 offsets -> wrong (i1, i2) pairs); the sweeps/tiles are
+    now statically unrolled and the 4-support runs a guarded LDL'
+    elimination eliminating the well-conditioned blocks first.
+    """
+    B, S, N, E = 3, 60, 14, 4
+    t = np.linspace(0, 1.0, S)
+    mk = lambda rates: np.exp(-t[:, None] * rates[None, :])
+    A1 = np.float32(mk(rng.uniform(0.5, 6.0, N)) + 0.02 * rng.randn(S, N))
+    A2 = np.float32(mk(rng.uniform(0.5, 6.0, N)) + 0.02 * rng.randn(S, N))
+    a3 = np.float32(mk(np.array([2.2])))
+    A4 = np.float32(mk(np.linspace(1.9, 2.8, E)))   # near-collinear w/ csf
+    A1b = np.broadcast_to(A1[None], (B, S, N))
+    A2b = np.broadcast_to(A2[None], (B, S, N))
+    ys = []
+    for b in range(B):
+        w = np.abs(rng.randn(4)) + 0.2
+        ys.append(w[0] * A1[:, rng.randint(N)] + w[1] * A2[:, rng.randint(N)]
+                  + w[2] * a3[:, 0] + w[3] * A4[:, rng.randint(E)]
+                  + 1e-4 * rng.randn(S))
+    y = np.float32(np.stack(ys) * 300)
+    cand, vals, ysq = dfscan.df4_candidates(
+        jnp.asarray(A1b), jnp.asarray(A2b),
+        jnp.asarray(np.broadcast_to(a3[None], (B, S, 1))),
+        jnp.asarray(np.broadcast_to(A4[None], (B, S, E))),
+        jnp.asarray(y), M=4)
+    cand = np.asarray(cand)
+    vals = np.asarray(vals)
+    for b in range(B):
+        yb32 = y[b].astype(np.float64)
+        yn = yb32 / np.linalg.norm(yb32)
+        nrm = lambda X: X.astype(np.float64) / np.linalg.norm(
+            X.astype(np.float64), axis=0, keepdims=True)
+        obj, idx = _oracle4_grid(nrm(A1), nrm(A2), nrm(a3), nrm(A4), yn)
+        got = tuple(int(c) for c in cand[b, 0])
+        # exact index parity, or an equal-residual tie at scan resolution
+        assert got == idx or abs(vals[b, 0] - obj) < 3e-9, \
+            "voxel %d: scan %s (%.3e) vs oracle %s (%.3e)" % (
+                b, got, vals[b, 0], idx, obj)
+        assert vals[b, 0] > obj - 3e-9  # never below the true optimum
+
+
+def test_df3_multitile_matches_oracle(rng):
+    """Multi-tile (N1 > tile) df3 scan vs oracle — regression for the
+    lax.scan tile-loop mis-evaluation (tiles are now unrolled)."""
+    B, S, N1, N2 = 2, 40, 40, 12
+    A1 = np.float32(rng.randn(B, S, N1))
+    A2 = np.float32(rng.randn(B, S, N2))
+    a3 = np.float32(np.abs(rng.randn(B, S, 1)) + 0.05)
+    y = np.float32(rng.randn(B, S) * 50)
+    cand, vals, ysq = dfscan.df3_candidates(
+        jnp.asarray(A1), jnp.asarray(A2), jnp.asarray(a3),
+        jnp.asarray(y), M=4, tile=16)          # forces 3 row tiles
+    cand = np.asarray(cand)
+    for b in range(B):
+        ij, obj = _oracle3(A1[b], A2[b], a3[b], y[b])
+        if ij is None:
+            continue
+        assert tuple(cand[b, 0]) == ij
+
+
+def test_df_nnls_cols_matches_f64_host(rng):
+    """Device small-NNLS finalize (df_nnls_cols) == float64 host solvers
+    on raw-scale correlated columns, for C = 1..4."""
+    from microstructure_fingerprinting_tpu.ops import nnls as mfn
+    B, S = 48, 70
+    t = np.linspace(0, 1, S)
+    base = np.exp(-3 * t)
+    for C in (1, 2, 3, 4):
+        cols = np.float32(
+            300 * (base[None, :, None]
+                   * np.exp(-rng.rand(B, 1, C) * 3 * t[None, :, None])
+                   + 0.01 * rng.randn(B, S, C)))
+        wtrue = np.abs(rng.randn(B, C)) * (rng.rand(B, C) < 0.7)
+        y = np.float32(np.einsum("bsc,bc->bs", cols, wtrue)
+                       + 20 * rng.randn(B, S))
+        w_d, res_d = dfscan.df_nnls_cols(
+            jnp.asarray(cols, jnp.float32), jnp.asarray(y, jnp.float32))
+        w_d, res_d = np.asarray(w_d), np.asarray(res_d)
+        c64, y64 = cols.astype(np.float64), y.astype(np.float64)
+        ysq = np.sum(y64 * y64, axis=1)
+        G = [[np.einsum("bs,bs->b", c64[:, :, i], c64[:, :, j])
+              for j in range(C)] for i in range(C)]
+        Y = [np.einsum("bs,bs->b", c64[:, :, i], y64) for i in range(C)]
+        if C == 1:
+            w0, r0 = mfn.lsqnonneg_1var(ysq, G[0][0], Y[0], xp=np)
+            wo, ro = w0[:, None], r0
+        elif C == 2:
+            a, b_, r0 = mfn.lsqnonneg_2var(ysq, G[0][0], G[0][1], G[1][1],
+                                           Y[0], Y[1], xp=np)
+            wo, ro = np.stack([a, b_], 1), r0
+        elif C == 3:
+            a, b_, c_, r0 = mfn.lsqnonneg_3var(
+                ysq, G[0][0], G[1][1], G[2][2], G[0][1], G[0][2], G[1][2],
+                Y[0], Y[1], Y[2], xp=np)
+            wo, ro = np.stack([a, b_, c_], 1), r0
+        else:
+            ws = mfn.lsqnonneg_4var(
+                ysq, tuple(tuple(G[i][j] for j in range(4))
+                           for i in range(4)), tuple(Y), xp=np)
+            wo, ro = np.stack(ws[:4], 1), ws[4]
+        assert np.max(np.abs(w_d - wo)) <= 3e-7 * max(np.max(np.abs(wo)),
+                                                      1.0)
+        assert np.max(np.abs(res_d - ro) / ysq) < 1e-7

@@ -507,3 +507,37 @@ def test_fit_csf_ear_only_volume(rng):
     assert np.isclose(fit.frac_ear[1, 0, 0], 1.0)
     assert np.isclose(fit.D_ear[1, 0, 0], 0.5e-9)
     assert fit.MSE.max() < 1e-10
+
+
+def test_device_finalize_matches_host_refine(rng):
+    """run_bucket_fast with device finalize (the TPU production path:
+    scan winner + ops/dfscan.df_nnls_cols weights/metrics on device, one
+    pull per bucket) == the float64 host re-scoring path."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    wl = mft.make_fit_workload(num_atom=48, n_vox=24, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    peaks = wl["peaks"].reshape(24, 6)
+    y, csf = wl["y"], wl["sig_csf"]
+    ysq = np.sum(y.astype(np.float64) ** 2, axis=1)
+    sch = wl["sch_mat"]
+    TE, b = sch[:, 6], b_values(sch)
+    Dear = np.linspace(0.8e-9, 2.6e-9, 4)
+    sig_ear = (np.exp(-TE / 0.8)[:, None]
+               * np.exp(-b[:, None] * Dear[None]))
+    for kw in ({}, {"sig_ear": sig_ear, "ear_on": True}):
+        host = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
+                               batch=8, device_finalize=False, **kw)
+        dev = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
+                              batch=8, device_finalize=True, **kw)
+        w_h, i_h, o_h, m_h, r_h = host
+        w_d, i_d, o_d, m_d, r_d = dev
+        # fascicle/CSF selections identical; the EAR slot may differ only
+        # on exact ties (same objective)
+        assert np.array_equal(i_h[:, :2], i_d[:, :2])
+        np.testing.assert_allclose(o_d, o_h, atol=2e-9 * ysq.max())
+        assert np.max(np.abs(w_d - w_h)) <= 1e-6 * np.max(np.abs(w_h))
+        np.testing.assert_allclose(r_d, r_h, atol=1e-6)
