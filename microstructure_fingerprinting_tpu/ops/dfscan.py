@@ -44,6 +44,21 @@ _S2 = jnp.float32(2.0 ** -15)
 _TOL = jnp.float32(100 * 1.1920929e-07)  # 100 eps_f32 (cf. mf_utils:480)
 
 
+
+def _unrolled_loops():
+    """Whether candidate-scan tile/sweep loops must be statically unrolled.
+
+    XLA's CPU backend was measured to mis-evaluate the compensated
+    double-float chains inside lax.scan bodies (constant ~1e-5 * ||y||^2
+    offsets on support residuals; the identical graph unrolled evaluates
+    exactly — see tests/test_dfscan.py regression tests). The TPU backend
+    evaluates both forms identically (verified on the failing data), and
+    unrolling there costs minutes of Mosaic/XLA compile time, so scans are
+    kept on TPU and unrolled everywhere else.
+    """
+    return jax.default_backend() != "tpu"
+
+
 def quantize2(X):
     """Two-level int8 decomposition X = s1*Q1 + s2*Q2 + R (exact).
 
@@ -351,12 +366,13 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    # static unroll, NOT lax.scan: XLA CPU mis-evaluates the compensated
-    # double-float chains inside scan bodies (see df4_candidates note)
-    carry = init
-    for _t in range(n_tiles):
-        carry, _ = body(carry, _t)
-    (vals, flats) = carry
+    if _unrolled_loops():
+        carry = init
+        for _t in range(n_tiles):
+            carry, _ = body(carry, _t)
+        (vals, flats) = carry
+    else:
+        (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
     cand = jnp.stack([flats // N2, flats % N2], axis=2).astype(jnp.int32)
     return cand, vals, yn * yn
 
@@ -442,12 +458,13 @@ def df2_candidates(A1, A2, y, M=8, tile=256):
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    # static unroll, NOT lax.scan: XLA CPU mis-evaluates the compensated
-    # double-float chains inside scan bodies (see df4_candidates note)
-    carry = init
-    for _t in range(n_tiles):
-        carry, _ = body(carry, _t)
-    (vals, flats) = carry
+    if _unrolled_loops():
+        carry = init
+        for _t in range(n_tiles):
+            carry, _ = body(carry, _t)
+        (vals, flats) = carry
+    else:
+        (vals, flats), _ = lax.scan(body, init, jnp.arange(n_tiles))
     cand = jnp.stack([flats // N2, flats % N2], axis=2).astype(jnp.int32)
     return cand, vals, yn * yn
 
@@ -802,14 +819,15 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
             return (jnp.where(upd, res_s, best),
                     jnp.where(upd, sw["s_idx"], best_s))
 
-        # NS is small and static: a python unroll, NOT lax.scan — XLA's
-        # CPU backend was measured to mis-evaluate the compensated
-        # double-float chains inside scan bodies (constant offsets ~1e-5 *
-        # ||y||^2 on the support residuals; the identical graph unrolled
-        # evaluates exactly). Unrolling costs compile time linear in NS.
-        for _s in range(NS):
-            sw_s = jax.tree_util.tree_map(lambda x: x[_s], xs_sweep)
-            best, best_s = sweep_eval((best, best_s), sw_s)
+        if _unrolled_loops():
+            for _s in range(NS):
+                sw_s = jax.tree_util.tree_map(lambda x: x[_s], xs_sweep)
+                best, best_s = sweep_eval((best, best_s), sw_s)
+        else:
+            def sweep_scan(carry_s, sw):
+                return sweep_eval(carry_s, sw), None
+            (best, best_s), _ = lax.scan(sweep_scan, (best, best_s),
+                                         xs_sweep)
 
         i1 = (jnp.int32(st)
               + lax.broadcasted_iota(jnp.int32, (tile, N2), 0))
@@ -823,10 +841,14 @@ def df4_candidates(A1, A2, a3, a4, y, M=8, tile=256):
 
     init = (jnp.full((B, M), jnp.inf, jnp.float32),
             jnp.zeros((B, M), jnp.int32))
-    carry = init
-    for _t in range(n_tiles):  # static unroll (see sweep-loop note above)
-        carry = body(carry, _t)
-    (vals, flats) = carry
+    if _unrolled_loops():
+        carry = init
+        for _t in range(n_tiles):
+            carry = body(carry, _t)
+        (vals, flats) = carry
+    else:
+        (vals, flats), _ = lax.scan(
+            lambda c, t: (body(c, t), None), init, jnp.arange(n_tiles))
     s = flats % NS
     pt_ = flats // NS
     cand = jnp.stack([pt_ // N2, pt_ % N2, s // N4, s % N4],
