@@ -198,16 +198,19 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # One host->device push for the whole bucket, chunked on device, device
     # results stacked and pulled back in ONE transfer: host<->device latency
     # (severe over remote-attached TPUs) is paid per bucket, not per chunk.
+    # Staging buffers are built in the DEVICE dtype: jnp.asarray(f64,
+    # dtype=f32) ships the float64 bytes over the wire and casts on device
+    # (measured 2x slower over the tunnel than a host-side cast).
     n_pad = int(math.ceil(n / batch) * batch)
-    pk_all = np.zeros((n_pad, 2, 3))
-    y_all = np.zeros((n_pad, S))
+    pk_all = np.zeros((n_pad, 2, 3), dtype=dt)
+    y_all = np.zeros((n_pad, S), dtype=dt)
     pk_all[:n] = peaks.reshape(n, 2, 3)
     y_all[:n] = y
     if n_pad > n:
         pk_all[n:] = pk_all[0]
         y_all[n:] = y_all[0]
-    pk_d = jnp.asarray(pk_all, dtype=dt)
-    y_d = jnp.asarray(y_all, dtype=dt)
+    pk_d = jnp.asarray(pk_all)
+    y_d = jnp.asarray(y_all)
 
     # dispatch ALL device work up front (async); results are pulled in
     # chunk groups so the host's float64 refinement overlaps with device
@@ -216,6 +219,9 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # so its top-1 already matches float64 selection and host re-scoring
     # runs at depth 1 for almost every voxel.
     cands_d, vals_d, fin_d = [], [], []
+    # the device finalize consumes only the scan winner: a 1-deep pool
+    # skips the top-M extraction work
+    pool = 1 if device_finalize else topm
     for st in range(0, n_pad, batch):
         pk_c = lax.dynamic_slice_in_dim(pk_d, st, batch, axis=0)
         yy_c = lax.dynamic_slice_in_dim(y_d, st, batch, axis=0)
@@ -227,7 +233,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             a4 = jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
             cand2, res2, _ysq = dfscan.df4_candidates(
-                D[:, 0], D[:, 1], a3, a4, yy_c, M=topm)
+                D[:, 0], D[:, 1], a3, a4, yy_c, M=pool)
         elif csf_on:
             a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             if jax.default_backend() == "tpu" and mesh is None:
@@ -235,13 +241,13 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 from ..ops import pallas_dfscan as pdf
                 rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], a3, yy_c)
                 cand2, res2 = pk_mod.candidates_from_rows(
-                    rr, ri, topm, segments=pdf.n_segments(D.shape[3]))
+                    rr, ri, pool, segments=pdf.n_segments(D.shape[3]))
             else:
                 cand2, res2, _ysq = dfscan.df3_candidates(
-                    D[:, 0], D[:, 1], a3, yy_c, M=topm)
+                    D[:, 0], D[:, 1], a3, yy_c, M=pool)
         else:
             cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
-                                                      yy_c, M=topm)
+                                                      yy_c, M=pool)
         if device_finalize:
             w_c, obj_c, r2_c = _finalize_top1(
                 D, csf_d, ear_d, yy_c, cand2[:, 0],
@@ -376,17 +382,18 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
     # chunk results: host<->device round-trip latency (severe on
     # remote-attached TPUs) is paid per bucket, not per chunk.
     n_pad = int(math.ceil(n / batch) * batch)
-    pk_all = np.zeros((n_pad, max(K, 1), 3))
-    y_all = np.zeros((n_pad, S))
+    # staging buffers in the device dtype (avoids shipping f64 bytes over
+    # remote-attached links just to cast on device)
+    pk_all = np.zeros((n_pad, max(K, 1), 3), dtype=dtype)
+    y_all = np.zeros((n_pad, S), dtype=dtype)
     if K > 0:
         pk_all[:n] = peaks.reshape(n, K, 3)
     y_all[:n] = y
     if n_pad > n:  # pad rows replicate voxel 0 to keep kernels NaN-free
         pk_all[n:] = pk_all[0]
         y_all[n:] = y_all[0]
-    pk_d_all = jnp.asarray(pk_all[:, :K] if K > 0 else pk_all[:, :0],
-                           dtype=dtype)
-    y_d_all = jnp.asarray(y_all, dtype=dtype)
+    pk_d_all = jnp.asarray(pk_all[:, :K] if K > 0 else pk_all[:, :0])
+    y_d_all = jnp.asarray(y_all)
 
     chunks = []
     for st in range(0, n_pad, batch):

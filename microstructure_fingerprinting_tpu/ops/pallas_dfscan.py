@@ -85,6 +85,9 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     v_a = t11.astype(jnp.float32) * jnp.float32(2.0 ** -14)
     v_b = t12.astype(jnp.float32) * jnp.float32(2.0 ** -22)
     v_c = t22.astype(jnp.float32) * jnp.float32(2.0 ** -30)
+    # cross terms carry O(2^-15)-magnitude corrections; Mosaic supports
+    # only DEFAULT (single-pass bf16, too coarse for the ~1e-9 target) and
+    # HIGHEST for f32 dots, so HIGHEST it is
     hp = dict(preferred_element_type=jnp.float32,
               precision=lax.Precision.HIGHEST)
     c1 = lax.dot_general(a1h_ref[0], rb_ref[0], (((0,), (0,)), ((), ())),
