@@ -142,7 +142,9 @@ def _cpu_reference_throughput(wl, n_probe=3):
 
 
 def main():
+    import microstructure_fingerprinting_tpu as mf
     from microstructure_fingerprinting_tpu import testing as mft
+    mf.enable_compile_cache()
     wl = mft.make_fit_workload(num_atom=NUM_ATOM, n_vox=N_VOX_BATCH)
     vox_per_s, ear_vox_per_s, _ = _tpu_throughput(wl)
     base = _cpu_reference_throughput(wl)

@@ -30,6 +30,8 @@ from microstructure_fingerprinting_tpu.utils.scheme import b_values
 
 
 def main(n_vox=128, num_atom=986, seed=11):
+    import microstructure_fingerprinting_tpu as mf
+    mf.enable_compile_cache()
     rng = np.random.RandomState(seed)
     sch = mft.make_dense_scheme(n_shells=8, dirs_per_shell=64, n_b0=40)
     sig, dpar, dperp = mft.make_dictionary(sch, num_atom=num_atom)

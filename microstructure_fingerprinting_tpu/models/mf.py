@@ -220,6 +220,8 @@ class MFModel(object):
             raise ValueError("Dictionary should either be a valid path to a"
                              " Matlab-like mat file or a Python dictionary.")
         dic = self.dic
+        from .. import enable_compile_cache
+        enable_compile_cache()
         self.num_atom = int(dic.get("num_atom",
                                     np.shape(dic["dictionary"])[1]))
         self.num_ear = int(dic.get("num_ear",
@@ -228,10 +230,21 @@ class MFModel(object):
         # Device-resident interpolation tables, computed once.
         self.ms_interpolator = mfi.init_PGSE_multishell_interp(
             dic["dictionary"], dic["sch_mat"], dic["orientation"])
+        # grouped-rotation evaluators are jitted closures: cache them per
+        # target scheme so repeated fit() calls reuse compiled programs
+        self._rotators = {}
         print("Initiated model based on dictionary with %d single-fascicle"
               " fingerprint(s) and %d fingerprint(s) for the extra-axonal"
               " restricted (EAR) compartment." %
               (self.num_atom, self.num_ear))
+
+    def _grouped_rotator(self, plan_h, sch_mat):
+        key = hash(np.asarray(sch_mat, dtype=np.float64).tobytes())
+        rot = self._rotators.get(key)
+        if rot is None:
+            rot = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
+            self._rotators[key] = rot
+        return rot
 
     # -- host marshalling helpers -------------------------------------
 
@@ -474,7 +487,7 @@ class MFModel(object):
             return K_ == 2 and (not ear_ or (csf_ and self.num_ear <= 16))
 
         if use_pallas and any(pallas_covers(k) for k in configs):
-            rotator = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
+            rotator = self._grouped_rotator(plan_h, pgse_scheme)
 
         # progress cadence contract (reference mf.py:948-949, 455-460):
         # at verbose >= 3, one line every `disp_int` voxels, at most
