@@ -41,15 +41,17 @@ def _round_up(x, m):
     return int(math.ceil(x / m) * m)
 
 
-def n_segments(N2):
+def n_segments(N2, segments=_SEGMENTS):
     """Total per-row segment count of row_scan_df3's output for a given
     second-sub-dictionary size (static shape math; pass to
-    ops/pallas_nnls.candidates_from_rows)."""
+    ops/pallas_nnls.candidates_from_rows). ``segments`` must match the
+    value given to row_scan_df3 (1 suffices for top-1 consumers like the
+    device finalize; more segments diversify a top-M pool)."""
     N2p = _round_up(N2, _LANE)
     NB = 1
     while N2p // NB > 512 and NB < _SEGMENTS:
         NB *= 2
-    return NB * _SEGMENTS
+    return NB * segments
 
 
 def _ps_rows(ref, i):
@@ -182,6 +184,8 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     res = jnp.where(full, res123, fb)
 
     # ---- per-(row, segment) minima over this column block ----
+    # (masked full-width passes: Mosaic rejects sub-width lane slices of
+    # the residual tile — a 64-lane static slice crashes its layout pass)
     cb = pl.program_id(1)
     col = (cb * n2b
            + lax.broadcasted_iota(jnp.int32, res.shape, 1))  # global i2
@@ -200,12 +204,16 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
         idx_ref[0, q] = idx.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
-def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "tile", "segments"))
+def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
+                 segments=_SEGMENTS):
     """Per-(row, segment) best candidate for [N1, N2, 1] with double-float
     selection, via the fused kernel. Returns (row_res (B, Q*N1p),
     row_i2 (B, Q*N1p), y_sq (B,)); consume with
-    ops/pallas_nnls.candidates_from_rows.
+    ops/pallas_nnls.candidates_from_rows (``segments`` here and in
+    n_segments must match; 1 is enough for top-1 consumers and skips
+    most of the in-kernel reduction passes).
     """
     B, S, N1 = A1.shape
     N2 = A2.shape[2]
@@ -328,7 +336,7 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE):
         NB *= 2
     N2B = _round_up(int(math.ceil(N2p / NB)), _LANE)
     N2pb = NB * N2B
-    segs = _SEGMENTS  # per column block -> NB * _SEGMENTS total
+    segs = segments  # per column block -> NB * segments total
 
     def padb(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, N2pb - x.shape[2])))
