@@ -110,9 +110,9 @@ def fit_step_candidates(xs, ys, cnt, gdir, shell_lo, shell_hi, wG,
     return mfn.exhaustive_candidates_blocks(tuple(blocks), y, M=M)
 
 
-@partial(jax.jit, static_argnames=("csf_on", "ear_on"))
+@partial(jax.jit, static_argnames=("csf_on", "ear_on", "K"))
 def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
-                   ear_on=False):
+                   ear_on=False, K=2):
     """Device finalize of the double-float scan winner.
 
     The compensated candidate scan (ops/dfscan) already selects the exact
@@ -124,15 +124,16 @@ def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
     chunk, at matching (~1e-11 relative) accuracy.
 
     Args:
-      D (B, 2, S, N) rotated fascicle blocks (raw scale); sig_csf (S,),
+      D (B, K, S, N) rotated fascicle blocks (raw scale); sig_csf (S,),
       sig_ear (S, E) (unused unless the flag is set); y (B, S) raw;
-      cand (B, C') int32 winner ([i1, i2] or [i1, i2, i3, i4]).
-    Returns (w (B, C), obj (B,), r2 (B,)) with C = 2 + csf_on + ear_on.
+      cand (B, C') int32 winner, fascicle indices first, the EAR atom
+      (when present) last.
+    Returns (w (B, C), obj (B,), r2 (B,)) with C = K + csf_on + ear_on.
     """
     from ..ops import dfscan
     B, S = y.shape
-    cols = [jnp.take_along_axis(D[:, 0], cand[:, None, 0:1], axis=2),
-            jnp.take_along_axis(D[:, 1], cand[:, None, 1:2], axis=2)]
+    cols = [jnp.take_along_axis(D[:, k], cand[:, None, k:k + 1], axis=2)
+            for k in range(K)]
     if csf_on:
         cols.append(jnp.broadcast_to(sig_csf[None, :, None], (B, S, 1)))
     if ear_on:
@@ -150,7 +151,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
                     device_finalize=None):
-    """Fast path for the 2-fascicle (+CSF, +CSF+EAR) configurations.
+    """Fast path for the 1- and 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
     double-float candidate scans (ops/dfscan.df{2,3,4}_candidates — exact
@@ -180,14 +181,16 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     del interpret
     if device_finalize is None:
         device_finalize = jax.default_backend() == "tpu"
-    assert K == 2, "fast path covers the 2-fascicle configurations"
+    assert K in (1, 2), "fast path covers 1- and 2-fascicle configurations"
+    assert K == 2 or csf_on, \
+        "the 1-fascicle fast path needs a CSF block (else run_bucket)"
     assert not ear_on or csf_on, \
-        "the 4-block scan covers the CSF+EAR configuration"
+        "the EAR fast path assumes a CSF block (reference configuration)"
     if rotator is None:
         rotator = interp_mod.make_grouped_rotation(ms_host, plan_host)
     n, S = y.shape
     dt = tables_ys.dtype
-    C = 2 + int(csf_on) + int(ear_on)
+    C = K + int(csf_on) + int(ear_on)
     sig_csf64 = (np.asarray(sig_csf, dtype=np.float64)
                  if csf_on else None)
     csf_d = (jnp.asarray(sig_csf, dtype=dt) if csf_on else None)
@@ -202,9 +205,9 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # dtype=f32) ships the float64 bytes over the wire and casts on device
     # (measured 2x slower over the tunnel than a host-side cast).
     n_pad = int(math.ceil(n / batch) * batch)
-    pk_all = np.zeros((n_pad, 2, 3), dtype=dt)
+    pk_all = np.zeros((n_pad, K, 3), dtype=dt)
     y_all = np.zeros((n_pad, S), dtype=dt)
-    pk_all[:n] = peaks.reshape(n, 2, 3)
+    pk_all[:n] = peaks.reshape(n, K, 3)
     y_all[:n] = y
     if n_pad > n:
         pk_all[n:] = pk_all[0]
@@ -229,29 +232,43 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             pk_c = pmesh.shard_batch(mesh, pk_c)
             yy_c = pmesh.shard_batch(mesh, yy_c)
         D = rotator(tables_ys, pk_c)
-        if ear_on:
-            a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
-            a4 = jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
+        csf_blk = (jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
+                   if csf_on else None)
+        ear_blk = (jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
+                   if ear_on else None)
+        if K == 1:
+            # [N, 1] / [N, 1, E] blocks: the CSF column is the scan's
+            # second axis; with EAR its atoms become the second axis and
+            # CSF the fixed third block ((i1, e) lexicographic order — the
+            # same tie order as the reference's (i1, csf, e) product,
+            # the CSF index being constant)
+            if ear_on:
+                cand2, res2, _ysq = dfscan.df3_candidates(
+                    D[:, 0], ear_blk, csf_blk, yy_c, M=pool)
+            else:
+                cand2, res2, _ysq = dfscan.df2_candidates(
+                    D[:, 0], csf_blk, yy_c, M=pool)
+        elif ear_on:
             cand2, res2, _ysq = dfscan.df4_candidates(
-                D[:, 0], D[:, 1], a3, a4, yy_c, M=pool)
+                D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
         elif csf_on:
-            a3 = jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
             if jax.default_backend() == "tpu" and mesh is None:
                 # fused kernel: int8 Gram + compensated chain in VMEM
                 from ..ops import pallas_dfscan as pdf
-                rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], a3, yy_c)
+                rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], csf_blk,
+                                                yy_c)
                 cand2, res2 = pk_mod.candidates_from_rows(
                     rr, ri, pool, segments=pdf.n_segments(D.shape[3]))
             else:
                 cand2, res2, _ysq = dfscan.df3_candidates(
-                    D[:, 0], D[:, 1], a3, yy_c, M=pool)
+                    D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
         else:
             cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
                                                       yy_c, M=pool)
         if device_finalize:
             w_c, obj_c, r2_c = _finalize_top1(
                 D, csf_d, ear_d, yy_c, cand2[:, 0],
-                csf_on=bool(csf_on), ear_on=bool(ear_on))
+                csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
             fin_d.append((cand2[:, 0], w_c, obj_c, r2_c))
         else:
             cands_d.append(cand2)
@@ -271,12 +288,17 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         n_atom = tables_ys.shape[2]
         ind2 = np.clip(ind2, 0, n_atom - 1)
         if ear_on:
-            ind2[:, 3] = np.clip(ind2[:, 3], 0, E - 1)
+            ind2[:, -1] = np.clip(ind2[:, -1], 0, E - 1)
             # an unused EAR block leaves the residual independent of the
             # ear atom: report the first index like the reference's
             # first-minimum enumeration (mf_utils.py:637 product order)
-            ind2[w_b[:, 3] <= 0, 3] = 0
-        if csf_on and not ear_on:
+            ind2[w_b[:, C - 1] <= 0, -1] = 0
+        # canonical (fasc..., csf, ear) index layout
+        if K == 1 and ear_on:     # [i1, ie] -> [i1, csf=0, ie]
+            ind2 = np.concatenate(
+                [ind2[:, :1], np.zeros((n, 1), np.int32), ind2[:, 1:]],
+                axis=1)
+        elif K == 2 and csf_on and not ear_on:   # [i1, i2] -> + csf=0
             ind2 = np.concatenate(
                 [ind2, np.zeros((n, 1), np.int32)], axis=1)
         return (w_b.astype(np.float64), ind2.astype(np.int32),
@@ -309,7 +331,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         n_atom = tables_ys.shape[2]
         cand = np.clip(cand, 0, n_atom - 1)
         if ear_on:
-            cand[:, :, 3] = np.clip(cand[:, :, 3], 0, E - 1)
+            cand[:, :, -1] = np.clip(cand[:, :, -1], 0, E - 1)
 
         # adaptive refinement depth: only candidates within the device
         # selection's (normalized-residual) noise band of the champion can
@@ -326,13 +348,21 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 continue
             gsel = g_st + sel
             cand_g = cand[sel, :hi_k]
-            if csf_on and not ear_on:
+            # expand scan candidate layouts to the canonical
+            # (fasc..., csf, ear) index layout refine_candidates expects
+            if K == 1 and ear_on:       # [i1, ie] -> [i1, csf=0, ie]
+                cand_g = np.concatenate(
+                    [cand_g[:, :, :1],
+                     np.zeros((sel.size, hi_k, 1), np.int32),
+                     cand_g[:, :, 1:]], axis=2)
+            elif K == 2 and csf_on and not ear_on:
                 cand_g = np.concatenate(
                     [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)],
                     axis=2)
             w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
                 ms_host, plan_host, pk_all[gsel], y64[gsel],
-                sig_csf64, sig_ear64, cand_g, 2, bool(csf_on), bool(ear_on))
+                sig_csf64, sig_ear64, cand_g, K, bool(csf_on),
+                bool(ear_on))
             w_b[gsel] = w_g
             ind_b[gsel] = ind_g
             obj_b[gsel] = obj_g

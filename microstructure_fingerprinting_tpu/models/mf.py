@@ -480,11 +480,13 @@ class MFModel(object):
         rotator = None
 
         def pallas_covers(cfg):
-            # 2-fascicle configs; EAR needs a CSF block (row_scan_4's
-            # size-1 third block) and a small enough EAR block to unroll
-            # its (i3, i4) sweeps inside the kernel
+            # 1- and 2-fascicle configs (K=1 needs a CSF block to form the
+            # second scan axis); EAR additionally needs a CSF block and a
+            # small enough EAR block for its per-sweep scans
             K_, csf_, ear_ = cfg
-            return K_ == 2 and (not ear_ or (csf_ and self.num_ear <= 16))
+            if K_ not in (1, 2) or (K_ == 1 and not csf_):
+                return False
+            return not ear_ or (csf_ and self.num_ear <= 16)
 
         if use_pallas and any(pallas_covers(k) for k in configs):
             rotator = self._grouped_rotator(plan_h, pgse_scheme)
@@ -505,7 +507,7 @@ class MFModel(object):
             if use_pallas and pallas_covers((K, has_csf, has_ear)):
                 w, ind, obj, mse, r2 = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],
-                    peaks_roi[idx, :6], y_roi[idx], sig_csf,
+                    peaks_roi[idx, :3 * K], y_roi[idx], sig_csf,
                     K, has_csf, batch=batch if mesh is not None
                     else (batch_size or 512), topm=topm,
                     interpret=pallas_interpret, rotator=rotator,

@@ -541,3 +541,60 @@ def test_device_finalize_matches_host_refine(rng):
         np.testing.assert_allclose(o_d, o_h, atol=2e-9 * ysq.max())
         assert np.max(np.abs(w_d - w_h)) <= 1e-6 * np.max(np.abs(w_h))
         np.testing.assert_allclose(r_d, r_h, atol=1e-6)
+
+
+def test_k1_fast_path_matches_general(rng):
+    """1-fascicle (+CSF, +CSF+EAR) through run_bucket_fast == the general
+    engine, modulo sub-1e-7 ties of the f32-cast problem (the scans
+    quantize f32 columns; x64 users route to the general float64 path)."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import (
+        run_bucket, run_bucket_fast)
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    import jax.numpy as jnp
+    wl = mft.make_fit_workload(num_atom=48, n_vox=24, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    ms, plan = wl["msinterp"], wl["plan"]
+    xs, ys_t, cnt = ms.device_tables()
+    peaks1 = wl["peaks"].reshape(24, 6)[:, :3]
+    csf = wl["sig_csf"]
+    sch = wl["sch_mat"]
+    TE, b = sch[:, 6], b_values(sch)
+    Dear = np.linspace(0.8e-9, 2.6e-9, 4)
+    sig_ear = (np.exp(-TE / 0.8)[:, None]
+               * np.exp(-b[:, None] * Dear[None]))
+    D = np.asarray(mfi.eval_rotation_batch(
+        xs, ys_t, cnt, jnp.asarray(plan.gdir, xs.dtype),
+        jnp.asarray(plan.shell_lo), jnp.asarray(plan.shell_hi),
+        jnp.asarray(plan.wG, xs.dtype),
+        jnp.asarray(peaks1.reshape(24, 1, 3), xs.dtype)))
+    ids = rng.randint(0, 48, 24)
+    eids = rng.randint(0, 4, 24)
+    y1 = np.stack([200 * (0.5 * D[v, 0, :, ids[v]] + 0.3 * csf)
+                   for v in range(24)])
+    y1e = np.stack([200 * (0.45 * D[v, 0, :, ids[v]] + 0.25 * csf
+                           + 0.2 * sig_ear[:, eids[v]])
+                    for v in range(24)])
+    plan_t = (jnp.asarray(plan.gdir, xs.dtype),
+              jnp.asarray(plan.shell_lo), jnp.asarray(plan.shell_hi),
+              jnp.asarray(plan.wG, xs.dtype))
+    for yy, ear in ((y1, False), (y1e, True)):
+        kw = dict(sig_ear=sig_ear, ear_on=True) if ear else {}
+        ref = run_bucket((xs, ys_t, cnt), plan_t, peaks1, yy, csf,
+                         sig_ear if ear else None, 1, True, ear, batch=8,
+                         refine=True, ms_host=ms, plan_host=plan, topm=8)
+        ysq = np.sum(yy.astype(np.float64) ** 2, axis=1)
+        host = run_bucket_fast(ms, plan, ys_t, peaks1, yy, csf, 1, True,
+                               batch=8, device_finalize=False, **kw)
+        dev = run_bucket_fast(ms, plan, ys_t, peaks1, yy, csf, 1, True,
+                              batch=8, device_finalize=True, **kw)
+        # the two fast-path modes agree with each other on selection
+        assert np.array_equal(host[1][:, 0], dev[1][:, 0])
+        np.testing.assert_allclose(dev[2], host[2], atol=2e-9 * ysq.max())
+        # and with the general engine up to f32-cast ties
+        assert np.max(np.abs(host[2] - ref[2]) / ysq) < 1e-6
+        same = np.mean(host[1][:, 0] == ref[1][:, 0])
+        assert same > 0.85, "more than tie-level selection divergence"
+        # planted-fascicle recovery (noiseless synthesis)
+        assert np.mean(host[1][:, 0] == ids) > 0.85
