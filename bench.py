@@ -40,7 +40,7 @@ def _tpu_throughput(wl):
     peaks = wl["peaks"].reshape(N_VOX_BATCH, 6)
     y = wl["y"]
     interpret = jax.default_backend() != "tpu"
-    rotator = mfi.make_grouped_rotation(ms, plan)  # built once per fit
+    rotator = mfi.make_grouped_rotation_paired(ms, plan)  # built once per fit
 
     def step():
         return run_bucket_fast(ms, plan, ys_t, peaks, y, wl["sig_csf"],

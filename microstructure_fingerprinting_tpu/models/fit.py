@@ -186,16 +186,31 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         "the 1-fascicle fast path needs a CSF block (else run_bucket)"
     assert not ear_on or csf_on, \
         "the EAR fast path assumes a CSF block (reference configuration)"
+    # ``rotator`` may be a plain evaluator (make_grouped_rotation) or a
+    # (evaluator, perm) pair (make_grouped_rotation_paired): the paired
+    # variant emits the rotated dictionary in permuted sequence order —
+    # the measured signal and fixed compartment columns get the same
+    # permutation below, and every downstream quantity (residuals,
+    # weights, R^2, atom ids) is permutation-invariant. The float64 host
+    # path works in the original order throughout.
+    rot_perm = None
+    if isinstance(rotator, tuple):
+        rotator, rot_perm = rotator
     if rotator is None:
-        rotator = interp_mod.make_grouped_rotation(ms_host, plan_host)
+        rotator, rot_perm = interp_mod.make_grouped_rotation_paired(
+            ms_host, plan_host)
     n, S = y.shape
     dt = tables_ys.dtype
     C = K + int(csf_on) + int(ear_on)
     sig_csf64 = (np.asarray(sig_csf, dtype=np.float64)
                  if csf_on else None)
-    csf_d = (jnp.asarray(sig_csf, dtype=dt) if csf_on else None)
     sig_ear64 = (np.asarray(sig_ear, dtype=np.float64) if ear_on else None)
-    ear_d = (jnp.asarray(sig_ear, dtype=dt) if ear_on else None)
+    sig_csf_dev = np.asarray(sig_csf)[rot_perm] \
+        if (csf_on and rot_perm is not None) else sig_csf
+    sig_ear_dev = np.asarray(sig_ear)[rot_perm] \
+        if (ear_on and rot_perm is not None) else sig_ear
+    csf_d = (jnp.asarray(sig_csf_dev, dtype=dt) if csf_on else None)
+    ear_d = (jnp.asarray(sig_ear_dev, dtype=dt) if ear_on else None)
     E = sig_ear.shape[1] if ear_on else 0
 
     # One host->device push for the whole bucket, chunked on device, device
@@ -208,7 +223,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     pk_all = np.zeros((n_pad, K, 3), dtype=dt)
     y_all = np.zeros((n_pad, S), dtype=dt)
     pk_all[:n] = peaks.reshape(n, K, 3)
-    y_all[:n] = y
+    y_all[:n] = y if rot_perm is None else np.asarray(y)[:, rot_perm]
     if n_pad > n:
         pk_all[n:] = pk_all[0]
         y_all[n:] = y_all[0]

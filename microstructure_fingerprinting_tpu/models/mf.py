@@ -242,7 +242,9 @@ class MFModel(object):
         key = hash(np.asarray(sch_mat, dtype=np.float64).tobytes())
         rot = self._rotators.get(key)
         if rot is None:
-            rot = mfi.make_grouped_rotation(self.ms_interpolator, plan_h)
+            # (evaluator, perm) pair: the permutation-free grouped rotation
+            rot = mfi.make_grouped_rotation_paired(self.ms_interpolator,
+                                                   plan_h)
             self._rotators[key] = rot
         return rot
 

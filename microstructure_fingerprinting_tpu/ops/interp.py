@@ -394,6 +394,78 @@ def make_grouped_rotation(msinterp, plan):
     return rotate
 
 
+def make_grouped_rotation_paired(msinterp, plan):
+    """Permutation-free grouped rotation (the production fast-path variant).
+
+    :func:`make_grouped_rotation` reassembles its per-shell matmul outputs
+    with two inverse-permutation gathers over the full (B*K, Nseq, N)
+    result — measured at ~20 ms of a 68 ms rotation per 512-voxel chunk on
+    v5e (the result is ~1.8 GB). This variant instead groups target
+    sequences by their (shell_lo, shell_hi) PAIR and evaluates each group
+    with ONE fused matmul [(1-wG)*W_lo | wG*W_hi] @ [ys[lo]; ys[hi]], so
+    the output is simply the concatenation of the groups — no gathers.
+
+    The output sequence ORDER is the group order: returns ``(rotate,
+    perm)`` where ``perm`` (Nseq,) int32 satisfies
+    ``rotate(...)[..., q, :] == standard(...)[..., perm[q], :]`` (up to
+    the one-matmul-vs-lerp rounding difference, ~1 ulp). Consumers must
+    permute the measured signal and fixed compartment columns with the
+    same ``perm``; residuals, weights, R^2 and atom selections are
+    permutation-invariant, so downstream results are unchanged.
+    """
+    S = msinterp.Gms_un.size
+    Kmax = msinterp.xs.shape[1]
+    pair_ids = {}
+    for q in range(plan.gdir.shape[0]):
+        key = (int(plan.shell_lo[q]), int(plan.shell_hi[q]))
+        pair_ids.setdefault(key, []).append(q)
+    pairs = [(sl, sh, np.asarray(ids, np.int32))
+             for (sl, sh), ids in sorted(pair_ids.items())]
+    perm = np.concatenate([ids for _sl, _sh, ids in pairs]).astype(np.int32)
+
+    xs_h = msinterp.xs
+    cnt_h = msinterp.cnt
+    gdir_h = plan.gdir
+    wG_h = plan.wG
+
+    @jax.jit
+    def rotate(tables_ys, newdirs):
+        B, K, _ = newdirs.shape
+        dt = tables_ys.dtype
+        nd = newdirs.reshape(B * K, 3)
+        x = jnp.abs(jnp.einsum("sd,bd->bs", jnp.asarray(gdir_h, dtype=dt),
+                               nd, precision=jax.lax.Precision.HIGHEST))
+        kiota = jnp.arange(Kmax, dtype=jnp.int32)
+
+        def weights(xq, s, scale):
+            xs_s = jnp.asarray(xs_h[s], dtype=dt)
+            j = jnp.clip(jnp.sum(xq[..., None] >= xs_s, axis=-1) - 1,
+                         0, int(cnt_h[s]) - 2).astype(jnp.int32)
+            x0 = xs_s[j]
+            x1 = xs_s[j + 1]
+            denom = x1 - x0
+            t = jnp.where(denom > 0,
+                          (xq - x0) / jnp.where(denom > 0, denom, 1.0), 0.0)
+            W = ((1.0 - t)[..., None] * (kiota == j[..., None])
+                 + t[..., None] * (kiota == (j[..., None] + 1)))
+            return W.astype(dt) * scale[None, :, None]
+
+        outs = []
+        for sl, sh, ids in pairs:
+            xq = x[:, ids]                          # (BK, q_p) static take
+            wq = jnp.asarray(wG_h[ids], dtype=dt)
+            W = jnp.concatenate([weights(xq, sl, 1.0 - wq),
+                                 weights(xq, sh, wq)], axis=2)
+            T = jnp.concatenate([tables_ys[sl], tables_ys[sh]], axis=0)
+            outs.append(jnp.einsum("bqk,kn->bqn", W, T,
+                                   preferred_element_type=dt,
+                                   precision=jax.lax.Precision.HIGHEST))
+        D = jnp.concatenate(outs, axis=1)
+        return D.reshape(B, K, perm.size, -1)
+
+    return rotate, perm
+
+
 # vmap over fascicle directions: (K, 3) -> (K, Nseq, N)
 eval_rotation_multi = jax.jit(jax.vmap(
     eval_rotation, in_axes=(None, None, None, None, None, None, None, 0)))

@@ -210,3 +210,24 @@ def test_rotate_atom_2dprotocol():
     got = mfi.rotate_atom_2Dprotocol(sig_ref, sch, refdir, newdir, DIFF)
     want = analytic(newdir)[:, None]
     assert np.max(np.abs(got - want)) < 2e-2
+
+
+def test_paired_rotation_matches_grouped(rng):
+    """Permutation-free pair-grouped rotation == the standard grouped
+    rotation at the returned permutation (one-matmul lerp vs two-pass
+    lerp: identical up to rounding)."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
+    import jax.numpy as jnp
+    wl = mft.make_fit_workload(num_atom=24, n_vox=6, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    pk = jnp.asarray(wl["peaks"].reshape(6, 2, 3), ys_t.dtype)
+    std = mfi.make_grouped_rotation(ms, plan)
+    paired, perm = mfi.make_grouped_rotation_paired(ms, plan)
+    D_std = np.asarray(std(ys_t, pk))
+    D_pair = np.asarray(paired(ys_t, pk))
+    assert sorted(perm.tolist()) == list(range(plan.gdir.shape[0]))
+    np.testing.assert_allclose(D_pair, D_std[:, :, perm, :],
+                               rtol=5e-6, atol=5e-7)
