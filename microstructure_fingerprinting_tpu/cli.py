@@ -60,7 +60,10 @@ def _build_parser():
     f.add_argument("--parallel", action="store_true",
                    help="shard voxel batches over all devices")
     f.add_argument("--engine", default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "fast", "pallas"],
+                   help="device scan: 'fast' = double-float fast path "
+                        "('pallas' is a legacy alias), 'xla' = general "
+                        "tiled scan, 'auto' picks per configuration")
     f.add_argument("--batch-size", type=int, default=None)
     f.add_argument("--topm", type=int, default=16,
                    help="float64 refinement candidate budget")

@@ -29,6 +29,7 @@ class SolverConfig:
     segments: int = 8              # per-row i2 segments in the Pallas scan
     rescore_pool: int = 128        # pool size for direct-residual re-ranking
     direct_noise: float = 4e-9     # direct-residual normalized resolution
+    twopass_rows: int = 256        # two-pass scan row budget (ops/f32scan)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,9 @@ from ..ops import interp as mfi
 from ..ops import nnls as mfn
 
 
+_TWOPASS_EAR = False  # pending a Pallas f32 row pass for the 4-block scan
+
+
 def _r_squared(y, y_rec):
     """Pearson correlation squared between measured and predicted signal,
     with the reference's guards (num_seq > 1, non-zero stds; mf.py:449-450).
@@ -142,7 +145,8 @@ def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
             cand[:, None, -1:], axis=2))
     cols = jnp.concatenate(cols, axis=2)                     # (B, S, C)
     w, res = dfscan.df_nnls_cols(cols, y)
-    y_rec = jnp.einsum("bsc,bc->bs", cols, w)
+    y_rec = jnp.einsum("bsc,bc->bs", cols, w,
+                       precision=jax.lax.Precision.HIGHEST)
     r2 = _r_squared(y, y_rec)
     return w, res, r2
 
@@ -150,7 +154,7 @@ def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
-                    device_finalize=None):
+                    device_finalize=None, defer=False):
     """Fast path for the 1- and 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
@@ -172,15 +176,33 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     one small result set per bucket; off, the top-M pool is re-scored in
     float64 on the host (models/refine.py — bit-level reference parity,
     used for the x64 CPU test path).
+
+    On large dictionaries the 2-fascicle scans run as a TWO-PASS exact
+    scan (ops/f32scan): an f32 interval row pass selects the rows that can
+    contain the winner, the df scan re-ranks only those, and overflowing
+    voxels are re-solved over the full grid — same selection, a fraction
+    of the compute.
+
+    ``defer=True`` returns a zero-arg closure performing the pull/assembly
+    instead of the results, letting MFModel.fit dispatch all buckets
+    before syncing any (cross-bucket pipelining).
     """
     from ..ops import interp as interp_mod
     from ..ops import dfscan
-    from ..ops import pallas_nnls as pk_mod
+    from ..ops import f32scan as f32
     from ..parallel import mesh as pmesh
     from . import refine as refine_mod
     del interpret
     if device_finalize is None:
         device_finalize = jax.default_backend() == "tpu"
+    # two-pass exact scan (f32 row pass + df re-scan of the top rows):
+    # the production configuration whenever the dictionary is large enough
+    # for row selection to pay off. Only the winner is consumed
+    # (device finalize), so the pool depth stays 1.
+    rows_R = config.DEFAULTS["solver"].twopass_rows
+    n_atom_rot = tables_ys.shape[2]
+    twopass = (device_finalize and K == 2
+               and n_atom_rot > 2 * rows_R)
     assert K in (1, 2), "fast path covers 1- and 2-fascicle configurations"
     assert K == 2 or csf_on, \
         "the 1-fascicle fast path needs a CSF block (else run_bucket)"
@@ -220,14 +242,16 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # dtype=f32) ships the float64 bytes over the wire and casts on device
     # (measured 2x slower over the tunnel than a host-side cast).
     n_pad = int(math.ceil(n / batch) * batch)
-    pk_all = np.zeros((n_pad, K, 3), dtype=dt)
+    # float64 peaks feed the host refine (bit-level reference parity of the
+    # re-scoring path); the device push uses a device-dtype staging copy
+    pk64 = np.zeros((n_pad, K, 3), dtype=np.float64)
+    pk64[:n] = peaks.reshape(n, K, 3)
     y_all = np.zeros((n_pad, S), dtype=dt)
-    pk_all[:n] = peaks.reshape(n, K, 3)
     y_all[:n] = y if rot_perm is None else np.asarray(y)[:, rot_perm]
     if n_pad > n:
-        pk_all[n:] = pk_all[0]
+        pk64[n:] = pk64[0]
         y_all[n:] = y_all[0]
-    pk_d = jnp.asarray(pk_all)
+    pk_d = jnp.asarray(pk64.astype(dt))
     y_d = jnp.asarray(y_all)
 
     # dispatch ALL device work up front (async); results are pulled in
@@ -251,6 +275,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                    if csf_on else None)
         ear_blk = (jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
                    if ear_on else None)
+        okf = None
         if K == 1:
             # [N, 1] / [N, 1, E] blocks: the CSF column is the scan's
             # second axis; with EAR its atoms become the second axis and
@@ -264,16 +289,36 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 cand2, res2, _ysq = dfscan.df2_candidates(
                     D[:, 0], csf_blk, yy_c, M=pool)
         elif ear_on:
-            cand2, res2, _ysq = dfscan.df4_candidates(
-                D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
+            # NOTE: rowmin_4's plain-XLA form materializes its per-sweep
+            # intermediates in HBM (measured slower than the one-pass df4
+            # scan), so the EAR bucket keeps the one-pass path until the
+            # f32 row pass runs as a Pallas kernel.
+            if twopass and _TWOPASS_EAR:
+                cand2, res2, _ysq, okf = f32.df4_twopass(
+                    D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
+                    R=rows_R)
+            else:
+                cand2, res2, _ysq = dfscan.df4_candidates(
+                    D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
         elif csf_on:
-            if jax.default_backend() == "tpu" and mesh is None:
-                # fused kernel: int8 Gram + compensated chain in VMEM
+            if twopass:
+                # two-pass exact scan: cheap f32 row minima select the
+                # top-R candidate rows, the double-float scan re-ranks
+                # only those; `okf` flags (rare) voxels whose in-band row
+                # count overflowed R — they are re-solved exactly on the
+                # host after the pull
+                cand2, res2, _ysq, okf = f32.df3_twopass(
+                    D[:, 0], D[:, 1], csf_blk, yy_c, M=pool, R=rows_R)
+            elif jax.default_backend() == "tpu" and mesh is None:
+                # fused one-pass kernel: int8 Gram + compensated chain in
+                # VMEM (the pre-two-pass production path; kept for small
+                # dictionaries below the two-pass row-budget cutoff)
                 from ..ops import pallas_dfscan as pdf
                 rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], csf_blk,
                                                 yy_c)
-                cand2, res2 = pk_mod.candidates_from_rows(
-                    rr, ri, pool, segments=pdf.n_segments(D.shape[3]))
+                cand2, res2 = pdf.candidates_from_rows(
+                    rr, ri, pool,
+                    segments=pdf.n_segments(D.shape[3]))
             else:
                 cand2, res2, _ysq = dfscan.df3_candidates(
                     D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
@@ -284,106 +329,168 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             w_c, obj_c, r2_c = _finalize_top1(
                 D, csf_d, ear_d, yy_c, cand2[:, 0],
                 csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
-            fin_d.append((cand2[:, 0], w_c, obj_c, r2_c))
+            if okf is None:
+                okf = jnp.ones(cand2.shape[0], dtype=bool)
+            fin_d.append((cand2[:, 0], w_c, obj_c, r2_c, okf))
         else:
             cands_d.append(cand2)
             vals_d.append(res2)
 
-    if device_finalize:
-        # ONE device->host pull of the per-voxel results for the whole
-        # bucket: the exact-selection scan leaves nothing to re-rank, so the
-        # host's only job is assembling the output arrays.
-        ind2 = np.asarray(jnp.concatenate([f[0] for f in fin_d]))[:n]
-        w_b = np.asarray(jnp.concatenate([f[1] for f in fin_d]))[:n]
-        obj_b = np.asarray(jnp.concatenate([f[2] for f in fin_d]))[:n]
-        r2_b = np.asarray(jnp.concatenate([f[3] for f in fin_d]))[:n]
-        # the df quadratic form can round a noiseless voxel's residual a few
-        # ulp below zero; a reported objective is never negative
+    def _finish():
+        """Pull + assemble this bucket's results (the expensive
+        device->host sync). With ``defer=True`` the caller runs all
+        buckets' dispatch phases first, so bucket N+1's device work
+        overlaps bucket N's pull/refine (cross-bucket pipelining)."""
+        if device_finalize:
+            # ONE device->host pull of the per-voxel results for the whole
+            # bucket: the exact-selection scan leaves nothing to re-rank, so the
+            # host's only job is assembling the output arrays.
+            ind2 = np.array(jnp.concatenate([f[0] for f in fin_d])[:n])
+            w_b = np.asarray(jnp.concatenate([f[1] for f in fin_d]))[:n]
+            obj_b = np.asarray(jnp.concatenate([f[2] for f in fin_d]))[:n]
+            r2_b = np.asarray(jnp.concatenate([f[3] for f in fin_d]))[:n]
+            ok_b = np.asarray(jnp.concatenate([f[4] for f in fin_d]))[:n]
+            if not ok_b.all():
+                # two-pass row-budget overflow (heavily tied voxels): re-run
+                # just those voxels through the full-grid one-pass df scan on
+                # device — exact selection is then unconditional. Chunks reuse
+                # the compiled ``batch`` shapes (rotation/finalize) plus one
+                # one-pass scan graph, persistent-cache warm after first use.
+                bad = np.flatnonzero(~ok_b)
+                w_b = np.array(w_b)
+                obj_b = np.array(obj_b)
+                r2_b = np.array(r2_b)
+                for st in range(0, bad.size, batch):
+                    sel = bad[st:st + batch]
+                    m = sel.size
+                    pk_f = np.zeros((batch, K, 3), dtype=dt)
+                    y_f = np.zeros((batch, S), dtype=dt)
+                    pk_f[:m] = pk64[sel]
+                    y_f[:m] = y_all[sel]
+                    if m < batch:
+                        pk_f[m:] = pk_f[0]
+                        y_f[m:] = y_f[0]
+                    pk_fd = jnp.asarray(pk_f)
+                    y_fd = jnp.asarray(y_f)
+                    D_f = rotator(tables_ys, pk_fd)
+                    csf_f = jnp.broadcast_to(csf_d[None, :, None],
+                                             (batch, S, 1))
+                    if ear_on:
+                        ear_f = jnp.broadcast_to(ear_d[None, :, :],
+                                                 (batch, S, E))
+                        cand_f, _rf, _yf = dfscan.df4_candidates(
+                            D_f[:, 0], D_f[:, 1], csf_f, ear_f, y_fd, M=1)
+                    else:
+                        cand_f, _rf, _yf = dfscan.df3_candidates(
+                            D_f[:, 0], D_f[:, 1], csf_f, y_fd, M=1)
+                    w_f, obj_f, r2_f = _finalize_top1(
+                        D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
+                        csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
+                    w_b[sel] = np.asarray(w_f)[:m]
+                    ind2[sel] = np.asarray(cand_f[:, 0])[:m]
+                    obj_b[sel] = np.asarray(obj_f)[:m]
+                    r2_b[sel] = np.asarray(r2_f)[:m]
+            # the df quadratic form can round a noiseless voxel's residual a few
+            # ulp below zero; a reported objective is never negative
+            obj_b = np.maximum(obj_b, 0.0)
+            n_atom = tables_ys.shape[2]
+            # clip fascicle columns to the atom range and the EAR column (when
+            # present) to its own range — a blanket clip would corrupt valid
+            # ear indices in [n_atom, E) for dictionaries with num_ear > num_atom
+            n_fasc_cols = ind2.shape[1] - int(ear_on)
+            ind2[:, :n_fasc_cols] = np.clip(ind2[:, :n_fasc_cols], 0,
+                                            n_atom - 1)
+            if ear_on:
+                ind2[:, -1] = np.clip(ind2[:, -1], 0, E - 1)
+                # an unused EAR block leaves the residual independent of the
+                # ear atom: report the first index like the reference's
+                # first-minimum enumeration (mf_utils.py:637 product order)
+                ind2[w_b[:, C - 1] <= 0, -1] = 0
+            # canonical (fasc..., csf, ear) index layout
+            if K == 1 and ear_on:     # [i1, ie] -> [i1, csf=0, ie]
+                ind2 = np.concatenate(
+                    [ind2[:, :1], np.zeros((n, 1), np.int32), ind2[:, 1:]],
+                    axis=1)
+            elif K == 2 and csf_on and not ear_on:   # [i1, i2] -> + csf=0
+                ind2 = np.concatenate(
+                    [ind2, np.zeros((n, 1), np.int32)], axis=1)
+            return (w_b.astype(np.float64), ind2.astype(np.int32),
+                    obj_b.astype(np.float64), obj_b.astype(np.float64) / S,
+                    r2_b.astype(np.float64))
+
+        noise = config.DEFAULTS["solver"].direct_noise
+        y64 = y.astype(np.float64)
+        w_b = np.zeros((n, C))
+        ind_b = np.zeros((n, C), np.int32)
+        obj_b = np.zeros(n)
+        r2_b = np.zeros(n)
+
+        # chunks pulled + refined together: each pull pays the device->host
+        # latency once (severe over remote-attached TPUs), so scale the group
+        # with the bucket while keeping a few groups for refine/compute overlap
+        group = max(4, len(cands_d) // 4)
+        for g0 in range(0, len(cands_d), group):
+            g1 = min(g0 + group, len(cands_d))
+            g_st = g0 * batch
+            g_en = min(g1 * batch, n)
+            if g_st >= n:
+                break
+            m = g_en - g_st
+            cand = np.array(jnp.concatenate(cands_d[g0:g1], axis=0)[:m])
+            vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
+            # +inf candidates (padded rows of tiny dictionaries reaching the
+            # top-M pool) carry padded i1 indices — clamp them into range; their
+            # residuals keep them from winning the f64 re-score. Fascicle and
+            # EAR columns clip to their own ranges.
+            n_atom = tables_ys.shape[2]
+            n_fasc_cols = cand.shape[2] - int(ear_on)
+            cand[:, :, :n_fasc_cols] = np.clip(cand[:, :, :n_fasc_cols], 0,
+                                               n_atom - 1)
+            if ear_on:
+                cand[:, :, -1] = np.clip(cand[:, :, -1], 0, E - 1)
+
+            # adaptive refinement depth: only candidates within the device
+            # selection's (normalized-residual) noise band of the champion can
+            # be exactly-optimal. Group voxels by their own tie depth so an
+            # isolated highly-degenerate voxel doesn't force deep re-scoring
+            # for the whole group.
+            k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1),
+                            1, topm)
+            lo_k = 1
+            for hi_k in (1, 2, 4, 8, topm):
+                sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
+                lo_k = hi_k + 1
+                if sel.size == 0:
+                    continue
+                gsel = g_st + sel
+                cand_g = cand[sel, :hi_k]
+                # expand scan candidate layouts to the canonical
+                # (fasc..., csf, ear) index layout refine_candidates expects
+                if K == 1 and ear_on:       # [i1, ie] -> [i1, csf=0, ie]
+                    cand_g = np.concatenate(
+                        [cand_g[:, :, :1],
+                         np.zeros((sel.size, hi_k, 1), np.int32),
+                         cand_g[:, :, 1:]], axis=2)
+                elif K == 2 and csf_on and not ear_on:
+                    cand_g = np.concatenate(
+                        [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)],
+                        axis=2)
+                w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
+                    ms_host, plan_host, pk64[gsel], y64[gsel],
+                    sig_csf64, sig_ear64, cand_g, K, bool(csf_on),
+                    bool(ear_on))
+                w_b[gsel] = w_g
+                ind_b[gsel] = ind_g
+                obj_b[gsel] = obj_g
+                r2_b[gsel] = _r2_np(y64[gsel], y_rec)
+        # float64 quadratic-form residuals can round a hair below zero on
+        # noiseless voxels; a reported objective is never negative
         obj_b = np.maximum(obj_b, 0.0)
-        n_atom = tables_ys.shape[2]
-        ind2 = np.clip(ind2, 0, n_atom - 1)
-        if ear_on:
-            ind2[:, -1] = np.clip(ind2[:, -1], 0, E - 1)
-            # an unused EAR block leaves the residual independent of the
-            # ear atom: report the first index like the reference's
-            # first-minimum enumeration (mf_utils.py:637 product order)
-            ind2[w_b[:, C - 1] <= 0, -1] = 0
-        # canonical (fasc..., csf, ear) index layout
-        if K == 1 and ear_on:     # [i1, ie] -> [i1, csf=0, ie]
-            ind2 = np.concatenate(
-                [ind2[:, :1], np.zeros((n, 1), np.int32), ind2[:, 1:]],
-                axis=1)
-        elif K == 2 and csf_on and not ear_on:   # [i1, i2] -> + csf=0
-            ind2 = np.concatenate(
-                [ind2, np.zeros((n, 1), np.int32)], axis=1)
-        return (w_b.astype(np.float64), ind2.astype(np.int32),
-                obj_b.astype(np.float64), obj_b.astype(np.float64) / S,
-                r2_b.astype(np.float64))
+        return w_b, ind_b, obj_b, obj_b / S, r2_b
 
-    noise = config.DEFAULTS["solver"].direct_noise
-    y64 = y.astype(np.float64)
-    w_b = np.zeros((n, C))
-    ind_b = np.zeros((n, C), np.int32)
-    obj_b = np.zeros(n)
-    r2_b = np.zeros(n)
 
-    # chunks pulled + refined together: each pull pays the device->host
-    # latency once (severe over remote-attached TPUs), so scale the group
-    # with the bucket while keeping a few groups for refine/compute overlap
-    group = max(4, len(cands_d) // 4)
-    for g0 in range(0, len(cands_d), group):
-        g1 = min(g0 + group, len(cands_d))
-        g_st = g0 * batch
-        g_en = min(g1 * batch, n)
-        if g_st >= n:
-            break
-        m = g_en - g_st
-        cand = np.asarray(jnp.concatenate(cands_d[g0:g1], axis=0))[:m]
-        vals = np.asarray(jnp.concatenate(vals_d[g0:g1], axis=0))[:m]
-        # +inf candidates (padded rows of tiny dictionaries reaching the
-        # top-M pool) carry padded i1 indices — clamp them into range; their
-        # residuals keep them from winning the f64 re-score
-        n_atom = tables_ys.shape[2]
-        cand = np.clip(cand, 0, n_atom - 1)
-        if ear_on:
-            cand[:, :, -1] = np.clip(cand[:, :, -1], 0, E - 1)
 
-        # adaptive refinement depth: only candidates within the device
-        # selection's (normalized-residual) noise band of the champion can
-        # be exactly-optimal. Group voxels by their own tie depth so an
-        # isolated highly-degenerate voxel doesn't force deep re-scoring
-        # for the whole group.
-        k_vox = np.clip(np.sum(vals <= vals[:, :1] + noise, axis=1),
-                        1, topm)
-        lo_k = 1
-        for hi_k in (1, 2, 4, 8, topm):
-            sel = np.where((k_vox >= lo_k) & (k_vox <= hi_k))[0]
-            lo_k = hi_k + 1
-            if sel.size == 0:
-                continue
-            gsel = g_st + sel
-            cand_g = cand[sel, :hi_k]
-            # expand scan candidate layouts to the canonical
-            # (fasc..., csf, ear) index layout refine_candidates expects
-            if K == 1 and ear_on:       # [i1, ie] -> [i1, csf=0, ie]
-                cand_g = np.concatenate(
-                    [cand_g[:, :, :1],
-                     np.zeros((sel.size, hi_k, 1), np.int32),
-                     cand_g[:, :, 1:]], axis=2)
-            elif K == 2 and csf_on and not ear_on:
-                cand_g = np.concatenate(
-                    [cand_g, np.zeros((sel.size, hi_k, 1), np.int32)],
-                    axis=2)
-            w_g, ind_g, obj_g, y_rec = refine_mod.refine_candidates(
-                ms_host, plan_host, pk_all[gsel], y64[gsel],
-                sig_csf64, sig_ear64, cand_g, K, bool(csf_on),
-                bool(ear_on))
-            w_b[gsel] = w_g
-            ind_b[gsel] = ind_g
-            obj_b[gsel] = obj_g
-            r2_b[gsel] = _r2_np(y64[gsel], y_rec)
-    return w_b, ind_b, obj_b, obj_b / S, r2_b
-
+    return _finish if defer else _finish()
 
 def _r2_np(y, y_rec):
     n = y.shape[-1]
@@ -394,9 +501,6 @@ def _r2_np(y, y_rec):
     ok = (den > 0) & (n > 1)
     r = np.where(ok, num / np.where(ok, den, 1.0), 0.0)
     return r * r
-
-
-run_bucket_pallas = run_bucket_fast  # backwards-compatible alias
 
 
 def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
@@ -427,16 +531,17 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
     # chunk results: host<->device round-trip latency (severe on
     # remote-attached TPUs) is paid per bucket, not per chunk.
     n_pad = int(math.ceil(n / batch) * batch)
-    # staging buffers in the device dtype (avoids shipping f64 bytes over
-    # remote-attached links just to cast on device)
-    pk_all = np.zeros((n_pad, max(K, 1), 3), dtype=dtype)
+    # float64 peaks for the host refine; device staging in the device dtype
+    # (avoids shipping f64 bytes over remote-attached links just to cast)
+    pk64 = np.zeros((n_pad, max(K, 1), 3), dtype=np.float64)
     y_all = np.zeros((n_pad, S), dtype=dtype)
     if K > 0:
-        pk_all[:n] = peaks.reshape(n, K, 3)
+        pk64[:n] = peaks.reshape(n, K, 3)
     y_all[:n] = y
     if n_pad > n:  # pad rows replicate voxel 0 to keep kernels NaN-free
-        pk_all[n:] = pk_all[0]
+        pk64[n:] = pk64[0]
         y_all[n:] = y_all[0]
+    pk_all = pk64.astype(dtype)
     pk_d_all = jnp.asarray(pk_all[:, :K] if K > 0 else pk_all[:, :0])
     y_d_all = jnp.asarray(y_all)
 
@@ -465,14 +570,16 @@ def run_bucket(tables, plan, peaks, y, sig_csf, sig_ear,
         y64 = y.astype(np.float64)
         w_b, ind_b, obj_b, y_rec = refine_mod.refine_candidates(
             ms_host, plan_host,
-            pk_all[:n, :K] if K > 0 else pk_all[:n, :0], y64,
+            pk64[:n, :K] if K > 0 else pk64[:n, :0], y64,
             np.asarray(sig_csf, dtype=np.float64) if csf_on else None,
             np.asarray(sig_ear, dtype=np.float64) if ear_on else None,
             cand, K, bool(csf_on), bool(ear_on))
+        obj_b = np.maximum(obj_b, 0.0)   # never report a negative residual
         return w_b, ind_b, obj_b, obj_b / S, _r2_np(y64, y_rec)
 
     stacked = {k: np.asarray(jnp.concatenate([c[k] for c in chunks],
                                              axis=0))[:n]
                for k in ("w", "ind", "min_obj", "mse", "r2")}
-    return (stacked["w"], stacked["ind"], stacked["min_obj"],
-            stacked["mse"], stacked["r2"])
+    obj = np.maximum(stacked["min_obj"], 0.0)
+    return (stacked["w"], stacked["ind"], obj,
+            np.maximum(stacked["mse"], 0.0), stacked["r2"])

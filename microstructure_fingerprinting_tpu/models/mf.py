@@ -272,11 +272,13 @@ class MFModel(object):
         ``refine`` selects float64 host re-scoring of the accelerator's
         top-M candidates (default: enabled exactly when jax runs in float32,
         i.e. on TPU, where it restores reference float64 selection quality).
-        ``engine`` picks the device scan: 'pallas' (fused kernel, fastest)
-        resolves residual gaps down to ~1e-7 * ||y||^2 before refinement;
-        'xla' with a larger ``topm`` refines a deeper candidate set; run
-        under JAX_ENABLE_X64=1 for bit-level reference parity.
-        Returns an :class:`MFModelFit`.
+        ``engine`` picks the device scan: 'fast' (alias 'pallas') is the
+        double-float fast path — grouped-matmul rotation + compensated
+        candidate scans whose selection already matches float64; 'xla'
+        is the general tiled scan (any K / EAR size) with a ``topm``-deep
+        candidate pool; 'auto' uses the fast path for the configurations
+        it covers. Run under JAX_ENABLE_X64=1 for bit-level reference
+        parity. Returns an :class:`MFModelFit`.
         """
         VRB = verbose
         nii_affine = None
@@ -470,18 +472,19 @@ class MFModel(object):
                 continue  # stays all-zero (reference mf.py:387-388)
             configs.setdefault(key, []).append(i)
 
-        # fused Pallas fast path: 2-fascicle (+CSF) configs on TPU.
-        # The kernel holds the full second sub-dictionary (S x N2) plus one
-        # atom tile in VMEM; beyond ~1500 atoms fall back to the tiled XLA
-        # scan, which streams both axes.
-        use_pallas = (engine == "pallas"
-                      or (engine == "auto" and refine
-                          and jax.default_backend() == "tpu"
-                          and num_seq * self.num_atom * 4 < 4 * 2 ** 20))
-        pallas_interpret = jax.default_backend() != "tpu"
+        # double-float fast path: grouped-matmul rotation + compensated
+        # candidate scans (run_bucket_fast). On TPU its fused df3 kernel
+        # holds the full second sub-dictionary (S x N2) plus one atom tile
+        # in VMEM; beyond ~1500 atoms fall back to the tiled XLA scan,
+        # which streams both axes.
+        use_fast = (engine in ("fast", "pallas")
+                    or (engine == "auto" and refine
+                        and jax.default_backend() == "tpu"
+                        and num_seq * self.num_atom * 4 < 4 * 2 ** 20))
+        fast_interpret = jax.default_backend() != "tpu"
         rotator = None
 
-        def pallas_covers(cfg):
+        def fast_covers(cfg):
             # 1- and 2-fascicle configs (K=1 needs a CSF block to form the
             # second scan axis); EAR additionally needs a CSF block and a
             # small enough EAR block for its per-sweep scans
@@ -490,7 +493,7 @@ class MFModel(object):
                 return False
             return not ear_ or (csf_ and self.num_ear <= 16)
 
-        if use_pallas and any(pallas_covers(k) for k in configs):
+        if use_fast and any(fast_covers(k) for k in configs):
             rotator = self._grouped_rotator(plan_h, pgse_scheme)
 
         # progress cadence contract (reference mf.py:948-949, 455-460):
@@ -500,22 +503,29 @@ class MFModel(object):
                                       MFModel.MAX_PROG_LINES)
                        ) if ROI_size > 0 else 1
         vox_done = 0
+        # two-phase execution: dispatch every bucket's device work first
+        # (async), then pull/assemble — bucket N+1's rotation and scans
+        # overlap bucket N's device->host pull and any host-side
+        # refinement (cross-bucket pipelining; the host->device push is
+        # only hidden across buckets, not within one)
+        pending = []
         for (K, has_csf, has_ear), idx_list in sorted(configs.items()):
             idx = np.asarray(idx_list)
             if VRB >= 3:
                 print("Config K=%d csf=%d ear=%d: %d voxel(s)"
                       % (K, has_csf, has_ear, idx.size))
             st_bucket = time.time()
-            if use_pallas and pallas_covers((K, has_csf, has_ear)):
-                w, ind, obj, mse, r2 = fit_mod.run_bucket_fast(
+            if use_fast and fast_covers((K, has_csf, has_ear)):
+                pend = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :3 * K], y_roi[idx], sig_csf,
                     K, has_csf, batch=batch if mesh is not None
                     else (batch_size or 512), topm=topm,
-                    interpret=pallas_interpret, rotator=rotator,
-                    sig_ear=sig_ear, ear_on=has_ear, mesh=mesh)
+                    interpret=fast_interpret, rotator=rotator,
+                    sig_ear=sig_ear, ear_on=has_ear, mesh=mesh,
+                    defer=True)
             else:
-                w, ind, obj, mse, r2 = fit_mod.run_bucket(
+                res_now = fit_mod.run_bucket(
                     tables, plan,
                     peaks_roi[idx, :3 * K] if K > 0
                     else np.zeros((idx.size, 0)),
@@ -523,6 +533,11 @@ class MFModel(object):
                     K, has_csf, has_ear, batch=batch, mesh=mesh,
                     refine=refine, ms_host=self.ms_interpolator,
                     plan_host=plan_h, topm=topm)
+                pend = (lambda r=res_now: r)
+            pending.append(((K, has_csf, has_ear), idx, pend, st_bucket))
+
+        for (K, has_csf, has_ear), idx, pend, st_bucket in pending:
+            w, ind, obj, mse, r2 = pend()
             if VRB >= 3:
                 t_vox = (time.time() - st_bucket) / max(idx.size, 1)
                 hits = np.arange(vox_done, vox_done + idx.size)

@@ -1047,6 +1047,15 @@ def _df_where_list(c, xs, ys):
             for x, y in zip(xs, ys)]
 
 
+def _df_lt(a, b):
+    """Lexicographic a < b on df pairs: an f32 sum hi + lo rounds the
+    compensation term away (lo < 0.5 ulp(hi)), collapsing near-ties to
+    f32-ulp resolution; comparing (hi, then lo) keeps the full double-float
+    resolution, matching the strict float64 '<' of the mirrored host
+    enumerations (models/refine, ops/nnls.lsqnonneg_4var)."""
+    return (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+
+
 def _df_nnls3(w_y, G, p):
     """df mirror of ops/nnls.lsqnonneg_3var (Cramer sign test + 2-subset
     fallback chain with first-strictly-better priority).
@@ -1075,11 +1084,11 @@ def _df_nnls3(w_y, G, p):
     a23, b23, r23 = _df_nnls2(w_y, G[1][1], G[2][2], G[1][2], p[1], p[2])
 
     fb_w, fb_r = [a12, b12, zero], r12
-    take13 = _val(r13) < _val(fb_r)
+    take13 = _df_lt(r13, fb_r)
     fb_w = _df_where_list(take13, [a13, zero, b13], fb_w)
     fb_r = (jnp.where(take13, r13[0], fb_r[0]),
             jnp.where(take13, r13[1], fb_r[1]))
-    take23 = _val(r23) < _val(fb_r)
+    take23 = _df_lt(r23, fb_r)
     fb_w = _df_where_list(take23, [zero, a23, b23], fb_w)
     fb_r = (jnp.where(take23, r23[0], fb_r[0]),
             jnp.where(take23, r23[1], fb_r[1]))
@@ -1109,7 +1118,7 @@ def _df_nnls4(w_y, G, p):
         res = _df_quadres(w_y, G_S, Y_S, w_S)
         rv = jnp.where(feas & ~jnp.isnan(res[0]), res[0], jnp.inf)
         res = (rv, jnp.where(jnp.isfinite(rv), res[1], 0.0))
-        better = res[0] + res[1] < best_r[0] + best_r[1]
+        better = _df_lt(res, best_r)
         new_w = [zero] * 4
         for wi, i in zip(w_S, S):
             new_w[i] = wi

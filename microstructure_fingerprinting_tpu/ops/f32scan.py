@@ -1,0 +1,513 @@
+"""Two-pass exact candidate scan: f32 interval row pass + df re-scan.
+
+The one-pass double-float scans (ops/dfscan) evaluate every candidate of
+the N1 x N2 (x NS) grid with compensated arithmetic (~400 VPU flops per
+point) to resolve residual near-ties to ~1e-10 * ||y||^2. Exactness is
+only ever *needed* near the optimum, so this module splits the scan:
+
+  pass 1  f32 row scan (~70 flops/point): per-row (i1) INTERVALS
+          [lo, up] of min_{i2,...} residual over the supports CONTAINING
+          block 1, plus a per-voxel floor interval for the block-1-free
+          supports. Residuals are evaluated in *progressive elimination*
+          form — ``rho_next = rho - t^2 / pivot`` chains whose f32 error
+          scales with the weight magnitudes instead of 1 / det like the
+          Cramer form (measured to lose 4 digits on highly-correlated
+          fingerprint columns). Every candidate carries an error radius
+          err = KERR * eps * (1 + sum_i |w_i|); where a pivot is too
+          small to divide by, the candidate degrades to the sound
+          interval [-err, +inf).
+  select  rows whose lower bound can still beat the global upper bound
+          U = min(min_rows up, up_floor), always including row 0 (the
+          reference first-minimum when the floor wins), index-sorted so
+          local tie-breaking matches global reference order. Capped at R
+          rows; `ok` is False when more than R - 1 rows qualify.
+  pass 2  the existing double-float scan (dfscan.df3/df4_candidates) on
+          the R gathered rows only — ~R/N1 of the one-pass df cost, with
+          unchanged (reference) selection semantics.
+
+Feasibility and guard semantics MIRROR the respective one-pass scans:
+the K=3 case logic keeps the reference's unguarded {1,2} Cramer branch
+and its D_i >= -100*eps full-support tolerance (mf_utils.py:548-593,
+expressed in weight space as w_i >= -tol / detG3), while the 4-block
+support enumeration keeps df4's det > 100*eps * prod(diag) guards.
+Borderline boolean disagreements switch between supports whose residuals
+agree to second order; the KERR radius absorbs them (validated against
+float64 oracles and the one-pass scans in tests/test_f32scan.py,
+including adversarially correlated and sign-indefinite data).
+
+Soundness argument: true candidate residuals lie inside the stage-1
+intervals, so the winner's row satisfies lo_row <= true_min <= U; if
+more than R - 1 rows do, the per-voxel `ok` flag sends the voxel to a
+full-grid device re-scan (models/fit.run_bucket_fast) — exact
+selection is then unconditional.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import dfscan
+from . import nnls as mfn
+
+_HP = dict(preferred_element_type=jnp.float32,
+           precision=lax.Precision.HIGHEST)
+_TOL = jnp.float32(100 * 1.1920929e-07)
+_EPS = jnp.float32(1.1920929e-07)
+#: per-candidate f32 error radius = KERR * (1 + sum |w_i|).
+#: The progressive chains are ~15 sequential f32 ops on O(1)-magnitude
+#: operands; 32 eps leaves a ~3x margin over the measured worst error
+#: (~2.5e-6 at weight-sum 1 on fingerprint-like data; validated in tests).
+KERR = jnp.float32(32 * 1.1920929e-07)
+_INF = jnp.float32(jnp.inf)
+
+
+def _sanit(x):
+    return jnp.where(jnp.isnan(x), jnp.inf, x)
+
+
+def _interval(feas, stab, res, ws):
+    """(lo, up) for one support: feasible -> res +- KERR*(1+ws);
+    numerically unstable (pivot too small to divide) -> sound fallback
+    [-KERR, +inf); infeasible -> no contribution."""
+    err = KERR * (1.0 + ws)
+    res = _sanit(res)
+    lo = jnp.where(feas, res - err, jnp.where(stab, _INF, -KERR))
+    up = jnp.where(feas, res + err, _INF)
+    return lo, up
+
+
+def _sub1(d, p, w):
+    """Support {a} (diagonal ~1 after normalization): interval."""
+    wa = p / d
+    return _interval(wa >= 0, True, w - p * wa, jnp.abs(wa))
+
+
+def _sub2(dA, dB, g, pA, pB, w, det_tol):
+    """Support {a, b}, eliminating a (diag ~1) then b. ``det_tol`` is the
+    relative determinant cutoff of the mirrored one-pass semantics:
+    _TOL for the 4-block enumeration (dfscan._sub2_df), 0 for the K=3
+    case logic (unguarded reference Cramer branch)."""
+    invA = 1.0 / dA
+    piv = dB - g * g * invA
+    stab = piv > _EPS * dB
+    invP = jnp.where(stab, 1.0 / jnp.where(stab, piv, 1.0), 0.0)
+    t = pB - g * pA * invA
+    wb = t * invP
+    wa = (pA - g * wb) * invA
+    feas = stab & (piv > det_tol * dB) & (wa >= 0) & (wb >= 0)
+    res = w - pA * pA * invA - t * wb
+    return _interval(feas, stab, res, jnp.abs(wa) + jnp.abs(wb))
+
+
+def _sub3(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w, det_tol):
+    """Support {a, b, c}, progressive elimination a -> b -> c; det gate
+    pivB * pivC > det_tol * dB * dC mirrors det3 > det_tol * dA*dB*dC."""
+    invA = 1.0 / dA
+    pivB = dB - gAB * gAB * invA
+    stabB = pivB > _EPS * dB
+    invB = jnp.where(stabB, 1.0 / jnp.where(stabB, pivB, 1.0), 0.0)
+    gBC_r = gBC - gAB * gAC * invA
+    tB = pB - gAB * pA * invA
+    pivC = dC - gAC * gAC * invA - gBC_r * gBC_r * invB
+    stabC = pivC > _EPS * dC
+    invC = jnp.where(stabC, 1.0 / jnp.where(stabC, pivC, 1.0), 0.0)
+    tC = pC - gAC * pA * invA - gBC_r * tB * invB
+    wc = tC * invC
+    wb = (tB - gBC_r * wc) * invB
+    wa = (pA - gAB * wb - gAC * wc) * invA
+    stab = stabB & stabC
+    feas = (stab & (pivB * pivC > det_tol * dB * dC)
+            & (wa >= 0) & (wb >= 0) & (wc >= 0))
+    res = w - pA * pA * invA - tB * tB * invB - tC * wc
+    return _interval(feas, stab, res,
+                     jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc))
+
+
+def _fold(lo, up, lo2, up2):
+    return jnp.minimum(lo, lo2), jnp.minimum(up, up2)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def rowmin_3(A1, A2, a3, y, tile=256):
+    """f32 per-row residual intervals for the [N1, N2, 1] configuration.
+
+    A1 (B, S, N1), A2 (B, S, N2), a3 (B, S, 1), y (B, S).
+    Returns (lo (B, N1), up (B, N1), up_floor (B,)): per-row interval
+    bounds of min_{i2} over supports CONTAINING block 1, plus the
+    per-voxel upper bound of the block-1-free supports (normalized
+    problem). The full row minimum is min(row interval, floor).
+    """
+    B, S, N1 = A1.shape
+    A1h, _ = mfn._normalize_block(A1)
+    A2h, _ = mfn._normalize_block(A2)
+    A3h, _ = mfn._normalize_block(a3)
+    yh, _yn, _ys = mfn._normalize_y(y)
+    A1h = A1h.astype(jnp.float32)
+    A2h = A2h.astype(jnp.float32)
+    A3h = A3h.astype(jnp.float32)
+    yh = yh.astype(jnp.float32)
+
+    d1 = jnp.einsum("bsn,bsn->bn", A1h, A1h, **_HP)       # ~1
+    d2 = jnp.einsum("bsn,bsn->bn", A2h, A2h, **_HP)
+    d3 = jnp.einsum("bsn,bsn->bn", A3h, A3h, **_HP)[:, 0]  # (B,)
+    p_ = jnp.einsum("bsn,bs->bn", A1h, yh, **_HP)
+    q_ = jnp.einsum("bsn,bs->bn", A2h, yh, **_HP)
+    r_ = jnp.einsum("bsn,bs->bn", A3h, yh, **_HP)[:, 0]
+    b_ = jnp.einsum("bsn,bsm->bn", A1h, A3h, **_HP)
+    c_ = jnp.einsum("bsn,bsm->bn", A2h, A3h, **_HP)
+    w_ = jnp.einsum("bs,bs->b", yh, yh, **_HP)
+
+    e1 = lambda x: x[:, None]                              # (B, 1)
+    d3e, re, we = e1(d3), e1(r_), e1(w_)
+
+    # per-row intervals from block-1 supports {1}, {1,3} (K=3 case-logic
+    # semantics: no det guard on 2-var branches)
+    lo_row, up_row = _sub1(d1, p_, we)
+    lo_row, up_row = _fold(lo_row, up_row,
+                           *_sub2(d1, d3e, b_, p_, re, we, 0.0))
+    # block-1-free floor: supports {2}, {2,3}, {3}, {}
+    lo3, up3 = _sub1(d3e, re, we)
+    upf = jnp.minimum(up3[:, 0], w_ + KERR)
+    loc_, upc_ = _sub1(d2, q_, we)
+    loc2, upc2 = _sub2(d2, d3e, c_, q_, re, we, 0.0)
+    upf = jnp.minimum(upf, jnp.min(jnp.minimum(upc_, upc2), axis=1))
+
+    # hoists for the per-point progressive chains
+    invd1 = 1.0 / d1                                       # (B, N1) ~1
+    kap_p = p_ * invd1
+    rho1 = we - p_ * kap_p                                 # {1} LS residual
+    # eliminate-csf stage (d3 ~ 1, always well conditioned)
+    invd3 = 1.0 / d3e
+    kap_b = b_ * invd3                                     # row
+    d1p = d1 - b_ * kap_b
+    stab1 = d1p > _EPS * d1
+    invd1p = jnp.where(stab1, 1.0 / jnp.where(stab1, d1p, 1.0), 0.0)
+    p1p = p_ - kap_b * re
+    kap_pp = p1p * invd1p
+    rho13 = (we - re * re * invd3) - p1p * kap_pp          # {1,3} residual
+    u3 = re * invd3                                        # (B, 1)
+    d2p = d2 - c_ * c_ * invd3                             # col
+    q2p = q_ - c_ * (re * invd3)
+    kap_c = c_ * invd3
+
+    n_tiles = int(math.ceil(N1 / tile))
+    N1p = n_tiles * tile
+    if N1p > N1:
+        A1h = jnp.pad(A1h, ((0, 0), (0, 0), (0, N1p - N1)))
+    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
+    rowv = [padr(x) for x in (d1, invd1, kap_p, rho1, kap_b, d1p,
+                              invd1p, kap_pp, rho13, lo_row, up_row)]
+    stab1p = (jnp.pad(stab1, ((0, 0), (0, N1p - N1)))
+              if N1p > N1 else stab1)
+
+    cc_ = lambda x: x[:, None, :]
+    d2c, qc, cc = cc_(d2), cc_(q_), cc_(c_)
+    d2pc, q2pc, kapcc = cc_(d2p), cc_(q2p), cc_(kap_c)
+    invd3e = invd3[:, :, None]                             # (B, 1, 1)
+
+    def body(t):
+        st = t * tile
+        a = jnp.einsum(
+            "bst,bsn->btn",
+            lax.dynamic_slice(A1h, (0, 0, st), (B, S, tile)), A2h, **_HP)
+        sl = lambda x: lax.dynamic_slice(x, (0, st),
+                                         (B, tile))[:, :, None]
+        (d1t, invd1t, kap_pt, rho1t, kap_bt, d1pt, invd1pt, kap_ppt,
+         rho13t, lo_rt, up_rt) = (sl(x) for x in rowv)
+        stab1t = lax.dynamic_slice(stab1p, (0, st), (B, tile))[:, :, None]
+
+        # support {1,2}: reference case1 — strict positive weights, NO
+        # det guard (mf_utils.py:344-358); stability-guarded division
+        pivA = d2c - a * a * invd1t
+        stabA = pivA > _EPS * d2c
+        invA = jnp.where(stabA, 1.0 / jnp.where(stabA, pivA, 1.0), 0.0)
+        tA = qc - a * kap_pt
+        w2 = tA * invA
+        w1 = kap_pt - a * invd1t * w2
+        feas12 = stabA & (w1 > 0) & (w2 > 0)
+        lo, up = _interval(feas12, stabA, rho1t - tA * w2,
+                           jnp.abs(w1) + jnp.abs(w2))
+
+        # support {1,2,3}: eliminate 3 (hoisted) -> 1 -> 2. Mirrors the
+        # reference full-support test detG3 > tol * d1*d2*d3 and
+        # D_i >= -tol, i.e. w_i >= -tol / detG3 with
+        # detG3 = d3 * d1' * pivB.
+        ap = a - kap_bt * cc
+        pivB = d2pc - ap * ap * invd1pt
+        stabB = stab1t & (pivB > _EPS * d2c)
+        invB = jnp.where(stabB, 1.0 / jnp.where(stabB, pivB, 1.0), 0.0)
+        tB = q2pc - ap * kap_ppt
+        w2f = tB * invB
+        w1f = kap_ppt - ap * invd1pt * w2f
+        w3f = u3[:, None, :] - kap_bt * w1f - kapcc * w2f
+        ok3 = d1pt * pivB > _TOL * d1t * d2c
+        tolw = _TOL * invd3e * invd1pt * invB
+        feas123 = (stabB & ok3 & (w1f >= -tolw) & (w2f >= -tolw)
+                   & (w3f >= -tolw))
+        lo2, up2 = _interval(
+            feas123, stabB, rho13t - tB * w2f,
+            jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
+        lo, up = _fold(lo, up, lo2, up2)
+
+        lo = jnp.min(lo, axis=2)                           # (B, tile)
+        up = jnp.min(up, axis=2)
+        lo = jnp.minimum(lo, lo_rt[:, :, 0])
+        up = jnp.minimum(up, up_rt[:, :, 0])
+        return lo, up
+
+    los, ups = zip(*[body(t) for t in range(n_tiles)])
+    lo = jnp.concatenate(los, axis=1)
+    up = jnp.concatenate(ups, axis=1)
+    row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
+    lo = jnp.where(row < N1, lo, jnp.inf)[:, :N1]
+    up = jnp.where(row < N1, up, jnp.inf)[:, :N1]
+    return lo, up, upf
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def rowmin_4(A1, A2, a3, a4, y, tile=256):
+    """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config):
+    min over (i2, i3, i4) of the block-1-involving supports, progressive-
+    elimination form with df4's det > 100*eps guards.
+    Returns (lo (B, N1), up (B, N1), up_floor (B,)) like rowmin_3."""
+    B, S, N1 = A1.shape
+    N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
+    NS = N3 * N4
+    A1h, _ = mfn._normalize_block(A1)
+    A2h, _ = mfn._normalize_block(A2)
+    A3h, _ = mfn._normalize_block(a3)
+    A4h, _ = mfn._normalize_block(a4)
+    yh, _yn, _ys = mfn._normalize_y(y)
+    f32 = lambda x: x.astype(jnp.float32)
+    A1h, A2h, A3h, A4h, yh = map(f32, (A1h, A2h, A3h, A4h, yh))
+
+    d1 = jnp.einsum("bsn,bsn->bn", A1h, A1h, **_HP)
+    d2 = jnp.einsum("bsn,bsn->bn", A2h, A2h, **_HP)
+    d3 = jnp.einsum("bsn,bsn->bn", A3h, A3h, **_HP)       # (B, N3)
+    d4 = jnp.einsum("bsn,bsn->bn", A4h, A4h, **_HP)       # (B, N4)
+    p_ = jnp.einsum("bsn,bs->bn", A1h, yh, **_HP)
+    q_ = jnp.einsum("bsn,bs->bn", A2h, yh, **_HP)
+    r3 = jnp.einsum("bsn,bs->bn", A3h, yh, **_HP)
+    r4 = jnp.einsum("bsn,bs->bn", A4h, yh, **_HP)
+    b3 = jnp.einsum("bsn,bsm->bnm", A1h, A3h, **_HP)      # (B, N1, N3)
+    b4 = jnp.einsum("bsn,bsm->bnm", A1h, A4h, **_HP)
+    c3 = jnp.einsum("bsn,bsm->bnm", A2h, A3h, **_HP)
+    c4 = jnp.einsum("bsn,bsm->bnm", A2h, A4h, **_HP)
+    g34 = jnp.einsum("bsn,bsm->bnm", A3h, A4h, **_HP)     # (B, N3, N4)
+    w_ = jnp.einsum("bs,bs->b", yh, yh, **_HP)
+
+    d3e = d3.reshape(B, 1, N3, 1)
+    d4e = d4.reshape(B, 1, 1, N4)
+    r3e = r3.reshape(B, 1, N3, 1)
+    r4e = r4.reshape(B, 1, 1, N4)
+    ge = g34.reshape(B, 1, N3, N4)
+    w4 = w_.reshape(B, 1, 1, 1)
+
+    # ---- block-1-free floor (upper bounds only) ----
+    upf = w_ + KERR
+    for lo_s, up_s in (_sub1(d3e, r3e, w4), _sub1(d4e, r4e, w4),
+                       _sub2(d3e, d4e, ge, r3e, r4e, w4, _TOL)):
+        upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
+    d2e = d2.reshape(B, N2, 1, 1)
+    q2e = q_.reshape(B, N2, 1, 1)
+    c3e = c3.reshape(B, N2, N3, 1)
+    c4e = c4[:, :, None, :]
+    for lo_s, up_s in (_sub1(d2e, q2e, w4),
+                       _sub2(d2e, d3e, c3e, q2e, r3e, w4, _TOL),
+                       _sub2(d2e, d4e, c4e, q2e, r4e, w4, _TOL),
+                       _sub3(d2e, d3e, d4e, c3e, c4e, ge, q2e, r3e, r4e,
+                             w4, _TOL)):
+        upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
+
+    # ---- per-sweep elimination hoists (csf=3 then ear=4 first) ----
+    invd3 = 1.0 / d3e
+    L43 = ge * invd3
+    D4h = d4e - ge * L43
+    ok34 = D4h > _TOL * d4e
+    invD4h = jnp.where(ok34, 1.0 / jnp.where(ok34, D4h, 1.0), 0.0)
+    t4 = r4e - L43 * r3e
+    rho34 = w4 - r3e * r3e * invd3 - t4 * t4 * invD4h
+    u3 = r3e * invd3
+    u4 = t4 * invD4h
+    L23 = c3e * invd3                                      # (B, N2, N3, 1)
+    e4c = c4e - L43 * c3e
+    L24 = e4c * invD4h
+    d2r = d2e - c3e * L23 - e4c * L24
+    q2r = q2e - L23 * r3e - L24 * t4
+
+    n_tiles = int(math.ceil(N1 / tile))
+    N1p = n_tiles * tile
+    pad2 = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
+    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
+    pad3 = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1), (0, 0)))
+                      if N1p > N1 else x)
+    A1p = pad2(A1h)
+    d1p_, p1p_ = padr(d1), padr(p_)
+    b3p, b4p = pad3(b3), pad3(b4)
+
+    we2 = w_[:, None]
+
+    def body(t):
+        st = t * tile
+        a = jnp.einsum(
+            "bst,bsn->btn",
+            lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile)), A2h, **_HP)
+        d1t = lax.dynamic_slice(d1p_, (0, st), (B, tile))
+        p1t = lax.dynamic_slice(p1p_, (0, st), (B, tile))
+        b3t = lax.dynamic_slice(b3p, (0, st, 0), (B, tile, N3))
+        b4t = lax.dynamic_slice(b4p, (0, st, 0), (B, tile, N4))
+        d1e = d1t[:, :, None, None]
+        p1e = p1t[:, :, None, None]
+        b3e = b3t[:, :, :, None]
+        b4e = b4t[:, :, None, :]
+
+        # row intervals: supports {1}, {1,3}, {1,4}, {1,3,4}
+        lo_r, up_r = _sub1(d1t, p1t, we2)
+        for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, _TOL),
+                           _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
+                           _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
+                                 r4e, w4, _TOL)):
+            lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, tile, -1),
+                                             axis=2))
+            up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, tile, -1),
+                                             axis=2))
+
+        # row LDL pieces for the full support, (B, tile, N3, N4)
+        invd1 = 1.0 / d1e
+        L13 = b3e * invd3
+        e4r = b4e - L43 * b3e
+        L14 = e4r * invD4h
+        D1h = d1e - b3e * L13 - e4r * L14
+        rowok = D1h > _TOL * d1e
+        invD1h = jnp.where(rowok, 1.0 / jnp.where(rowok, D1h, 1.0), 0.0)
+        pi1 = p1e - L13 * r3e - L14 * t4
+        kap1 = pi1 * invD1h
+        rho1f = rho34 - pi1 * kap1
+        kap_p = p1e[:, :, 0, :] * invd1[:, :, 0, :]        # (B, tile, 1)
+
+        lo_b = jnp.full((B, tile, N2), jnp.inf, jnp.float32)
+        up_b = jnp.full((B, tile, N2), jnp.inf, jnp.float32)
+        d2cc = d2[:, None, :]
+        qcc = q_[:, None, :]
+        wee = we2[:, :, None]
+
+        # support {1,2} (sweep-independent): df4 semantics — det guard
+        lo_s, up_s = _sub2(d1e[:, :, 0, :], d2cc, a, p1e[:, :, 0, :],
+                           qcc, wee, _TOL)
+        lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
+
+        # supports {1,2,i3} (N3 small, typically 1)
+        for i3 in range(N3):
+            lo_s, up_s = _sub3(
+                d1e[:, :, 0, :], d2cc, d3[:, None, i3:i3 + 1], a,
+                b3t[:, :, i3:i3 + 1], c3[:, None, :, i3],
+                p1e[:, :, 0, :], qcc, r3[:, None, i3:i3 + 1], wee, _TOL)
+            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
+
+        for s in range(NS):
+            i3, i4 = divmod(s, N4)
+            # {1,2,i4}
+            lo_s, up_s = _sub3(
+                d1e[:, :, 0, :], d2cc, d4[:, None, i4:i4 + 1], a,
+                b4t[:, :, i4:i4 + 1], c4[:, None, :, i4],
+                p1e[:, :, 0, :], qcc, r4[:, None, i4:i4 + 1], wee, _TOL)
+            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
+            # full {1,2,3,4}: finish the hoisted LDL at (i1, i2)
+            L23c = L23[:, :, i3, 0][:, None, :]            # (B, 1, N2)
+            L24c = L24[:, :, i3, i4][:, None, :]
+            NUM = (a - b3t[:, :, i3:i3 + 1] * L23c
+                   - e4r[:, :, i3, i4:i4 + 1] * L24c)
+            D2h = (d2r[:, :, i3, i4][:, None, :]
+                   - NUM * NUM * invD1h[:, :, i3, i4:i4 + 1])
+            pok = D2h > _TOL * d2cc
+            pi2 = (q2r[:, :, i3, i4][:, None, :]
+                   - NUM * kap1[:, :, i3, i4:i4 + 1])
+            w_b2 = pi2 * jnp.where(pok, 1.0 / jnp.where(pok, D2h, 1.0),
+                                   0.0)
+            w_b1 = (kap1[:, :, i3, i4:i4 + 1]
+                    - NUM * invD1h[:, :, i3, i4:i4 + 1] * w_b2)
+            w_e4 = (u4[:, :, i3, i4:i4 + 1]
+                    - L14[:, :, i3, i4:i4 + 1] * w_b1 - L24c * w_b2)
+            w_e3 = (u3[:, :, i3, :] - L43[:, :, i3, i4:i4 + 1] * w_e4
+                    - L13[:, :, i3, :] * w_b1 - L23c * w_b2)
+            stabF = (ok34[:, :, i3, i4:i4 + 1]
+                     & rowok[:, :, i3, i4:i4 + 1] & pok)
+            feasF = (stabF & (w_b2 >= 0) & (w_b1 >= 0) & (w_e4 >= 0)
+                     & (w_e3 >= 0))
+            lo_s, up_s = _interval(
+                feasF, True, rho1f[:, :, i3, i4:i4 + 1] - pi2 * w_b2,
+                (jnp.abs(w_b1) + jnp.abs(w_b2) + jnp.abs(w_e3)
+                 + jnp.abs(w_e4)))
+            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
+
+        lo = jnp.minimum(jnp.min(lo_b, axis=2), lo_r)
+        up = jnp.minimum(jnp.min(up_b, axis=2), up_r)
+        return lo, up
+
+    los, ups = zip(*[body(t) for t in range(n_tiles)])
+    lo = jnp.concatenate(los, axis=1)
+    up = jnp.concatenate(ups, axis=1)
+    row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
+    lo = jnp.where(row < N1, lo, jnp.inf)[:, :N1]
+    up = jnp.where(row < N1, up, jnp.inf)[:, :N1]
+    return lo, up, upf
+
+
+@partial(jax.jit, static_argnames=("R",))
+def _select_rows(lo, up, up_floor, R):
+    """Interval row selection.
+
+    Rows whose block-1 lower bound can still beat the global upper bound
+    U = min(min_rows up, up_floor) are candidates. Row 0 is always
+    included: when the block-1-free floor wins, every grid point ties at
+    the floor and the reference first-minimum lands in row 0. The
+    returned rows are sorted by INDEX so the df re-scan's local
+    first-minimum tie-breaking coincides with the global reference order.
+    Returns (rows (B, R) int32 ascending, ok (B,) bool: False when more
+    than R - 1 rows qualify)."""
+    U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
+    n_cand = jnp.sum(lo <= U, axis=1)
+    ok = n_cand <= R - 1
+    lo_sel = lo.at[:, 0].set(-jnp.inf)                     # force row 0
+    _negv, rows = lax.top_k(-lo_sel, R)
+    rows = jnp.sort(rows, axis=1)
+    return rows.astype(jnp.int32), ok
+
+
+@partial(jax.jit, static_argnames=("M", "R"))
+def df3_twopass(A1, A2, a3, y, M=1, R=128):
+    """Two-pass exact top-M for [N1, N2, 1]: f32 interval row scan -> df
+    re-scan of the top-R rows. Returns (cand (B, M, 2), res (B, M),
+    y_sq (B,), ok (B,) bool). Where ``ok`` is False the caller must
+    re-solve the voxel over the full grid (the selection guarantee only
+    covers in-budget voxels)."""
+    B, S, N1 = A1.shape
+    lo, up, up_floor = rowmin_3(A1, A2, a3, y)
+    rows, ok = _select_rows(lo, up, up_floor, R)
+    A1_sel = jnp.take_along_axis(A1, rows[:, None, :], axis=2)
+    cand, vals, y_sq = dfscan.df3_candidates(A1_sel, A2, a3, y, M=M)
+    # +inf pool entries may carry padded local rows -> clamp before gather
+    loc = jnp.clip(cand[:, :, 0], 0, R - 1)
+    i1 = jnp.take_along_axis(rows, loc, axis=1)
+    cand = jnp.stack([i1, cand[:, :, 1]], axis=2)
+    return cand, vals, y_sq, ok
+
+
+@partial(jax.jit, static_argnames=("M", "R"))
+def df4_twopass(A1, A2, a3, a4, y, M=1, R=128):
+    """Two-pass exact top-M for [N1, N2, N3, N4] (EAR configuration).
+    Returns (cand (B, M, 4), res (B, M), y_sq (B,), ok (B,))."""
+    lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y)
+    rows, ok = _select_rows(lo, up, up_floor, R)
+    A1_sel = jnp.take_along_axis(A1, rows[:, None, :], axis=2)
+    cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y, M=M)
+    loc = jnp.clip(cand[:, :, 0], 0, R - 1)
+    i1 = jnp.take_along_axis(rows, loc, axis=1)
+    cand = jnp.concatenate([i1[:, :, None], cand[:, :, 1:]], axis=2)
+    return cand, vals, y_sq, ok

@@ -1125,44 +1125,35 @@ def _solve_exhaustive_host(A, y, dicsizes):
 def solve_exhaustive_posweights_1(A, y):
     """1-sub-dictionary exhaustive NNLS (reference mf_utils.py:218-278
     signature): returns scalars (w, ind_subdic, ind_totdic, min_obj) plus
-    y_recons, like the Numba kernel."""
-    w, ind, min_obj = exhaustive_1_batched(jnp.asarray(A[np.newaxis]),
-                                           jnp.asarray(y[np.newaxis]))
-    w0 = float(w[0, 0])
-    i0 = int(ind[0, 0])
-    y_recons = w0 * np.asarray(A, dtype=np.float64)[:, i0]
-    return (w0, i0, i0, float(min_obj[0]), y_recons)
+    y_recons, like the Numba kernel. Solved in float64 on the host, like
+    the dispatcher — under a float32 runtime (TPU, x64 off) a device scan
+    would silently degrade the selection to f32 grade."""
+    A = np.asarray(A, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w, ind, ind_tot, min_obj, y_recons = _solve_exhaustive_host(
+        A, y, np.array([A.shape[1]], dtype=np.int64))
+    return (float(w[0]), int(ind[0]), int(ind_tot[0]), float(min_obj),
+            y_recons)
 
 
 def solve_exhaustive_posweights_2(A, y, diclengths):
     """2-sub-dictionary exhaustive NNLS (reference mf_utils.py:284-392
-    signature)."""
-    N1 = int(diclengths[0])
-    w, ind, min_obj = exhaustive_2_batched(
-        jnp.asarray(A[np.newaxis, :, :N1]),
-        jnp.asarray(A[np.newaxis, :, N1:]),
-        jnp.asarray(y[np.newaxis]))
-    w = np.asarray(w[0], dtype=np.float64)
-    ind_subdic = np.asarray(ind[0], dtype=np.int32)
-    ind_totdic = ind_subdic + np.array([0, N1], dtype=np.int32)
-    y_recons = np.asarray(A, dtype=np.float64)[:, ind_totdic] @ w
-    return (w, ind_subdic, ind_totdic, float(min_obj[0]), y_recons)
+    signature). float64 host solve (see solve_exhaustive_posweights_1)."""
+    A = np.asarray(A, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w, ind_subdic, ind_totdic, min_obj, y_recons = _solve_exhaustive_host(
+        A, y, np.asarray(diclengths[:2], dtype=np.int64))
+    return (w, ind_subdic, ind_totdic, float(min_obj), y_recons)
 
 
 def solve_exhaustive_posweights_3(A, y, diclengths):
     """3-sub-dictionary exhaustive NNLS (reference mf_utils.py:466-607
-    signature)."""
-    N1, N2 = int(diclengths[0]), int(diclengths[1])
-    w, ind, min_obj = exhaustive_3_batched(
-        jnp.asarray(A[np.newaxis, :, :N1]),
-        jnp.asarray(A[np.newaxis, :, N1:N1 + N2]),
-        jnp.asarray(A[np.newaxis, :, N1 + N2:]),
-        jnp.asarray(y[np.newaxis]))
-    w = np.asarray(w[0], dtype=np.float64)
-    ind_subdic = np.asarray(ind[0], dtype=np.int32)
-    ind_totdic = ind_subdic + np.array([0, N1, N1 + N2], dtype=np.int32)
-    y_recons = np.asarray(A, dtype=np.float64)[:, ind_totdic] @ w
-    return (w, ind_subdic, ind_totdic, float(min_obj[0]), y_recons)
+    signature). float64 host solve (see solve_exhaustive_posweights_1)."""
+    A = np.asarray(A, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w, ind_subdic, ind_totdic, min_obj, y_recons = _solve_exhaustive_host(
+        A, y, np.asarray(diclengths[:3], dtype=np.int64))
+    return (w, ind_subdic, ind_totdic, float(min_obj), y_recons)
 
 
 def lsqnonneg_2var_opt(y_sq, A11, A12, A22, Y1, Y2):
@@ -1210,8 +1201,15 @@ def _solve_exhaustive_posweights_general(A, y, diclengths, chunk=2048):
             break
         n = combos.shape[0]
         cols = A[:, combos + starts[None, :]]          # (S, n, K)
-        G = np.einsum("snk,snl->nkl", cols, cols)      # (n, K, K)
-        b = np.einsum("snk,s->nk", cols, y)            # (n, K)
+        # unit-normalize columns so the determinant guard below is
+        # scale-invariant (like the K <= 4 paths): without it, supports of
+        # well-conditioned but small-magnitude columns (diag ~ 1e-6) would
+        # be wrongly rejected, and huge columns could mask true collinearity
+        nrm = np.sqrt(np.einsum("snk,snk->nk", cols, cols))   # (n, K)
+        nrm = np.where(nrm > 0, nrm, 1.0)
+        colsn = cols / nrm[None, :, :]
+        G = np.einsum("snk,snl->nkl", colsn, colsn)    # (n, K, K) unit diag
+        b = np.einsum("snk,s->nk", colsn, y)           # (n, K)
 
         obj = np.full(n, y_sq)
         w_opt = np.zeros((n, K))
@@ -1232,7 +1230,7 @@ def _solve_exhaustive_posweights_general(A, y, diclengths, chunk=2048):
             if np.any(upd):
                 obj[upd] = r[upd]
                 w_full = np.zeros((int(upd.sum()), K))
-                w_full[:, S] = wS[upd]
+                w_full[:, S] = wS[upd] / nrm[upd][:, S]  # raw-scale weights
                 w_opt[upd] = w_full
         j = int(np.argmin(obj))                        # first minimum
         if obj[j] < best_obj:
@@ -1263,49 +1261,51 @@ def nnls_underdetermined(X, y, max_outer=None):
     if max_outer is None:
         max_outer = 30 * n
 
-    S = np.zeros(n, np.int8)  # 1 = passive (positive), 0 = active (zero)
-    PP = np.zeros(0, dtype=np.int64)
-    z = np.zeros(n, np.float64)
-    x = np.zeros(n, np.float64)
-    w = Xty.copy()
+    passive = np.zeros(n, bool)  # True = passive (positive), False = active
+    passive_idx = np.zeros(0, dtype=np.int64)
+    trial = np.zeros(n, np.float64)   # unconstrained solve on passive set
+    sol = np.zeros(n, np.float64)     # current feasible iterate
+    grad = Xty.copy()                 # optimality vector A'y - A'A sol
 
     def _solve_passive():
-        PP_loc = np.where(S == 1)[0]
-        XtyPP = Xty[PP_loc]
-        if PP_loc.size == 1:
-            z[PP_loc] = XtyPP / np.sum(X[:, PP_loc] ** 2)
-        elif PP_loc.size > 0:
-            XtXPP = X[:, PP_loc].T @ X[:, PP_loc]
-            z[PP_loc] = np.linalg.lstsq(XtXPP, XtyPP, rcond=None)[0]
-        return PP_loc
+        idx = np.where(passive)[0]
+        rhs = Xty[idx]
+        if idx.size == 1:
+            trial[idx] = rhs / np.sum(X[:, idx] ** 2)
+        elif idx.size > 0:
+            gram = X[:, idx].T @ X[:, idx]
+            trial[idx] = np.linalg.lstsq(gram, rhs, rcond=None)[0]
+        return idx
 
     outer = 0
-    while np.any(S == 0) and np.any(w[S == 0] > tol) and outer < max_outer:
+    while (np.any(~passive) and np.any(grad[~passive] > tol)
+           and outer < max_outer):
         outer += 1
-        t = np.argmax(w[S == 0])
-        t = np.where(S == 0)[0][t]
-        S[t] = 1
-        z[t] = 0
-        PP = _solve_passive()
+        t = np.argmax(grad[~passive])
+        t = np.where(~passive)[0][t]
+        passive[t] = True
+        trial[t] = 0
+        passive_idx = _solve_passive()
         inner = 0
-        while np.any(z[S == 1] <= tol) and inner < max_outer:
+        while np.any(trial[passive] <= tol) and inner < max_outer:
             inner += 1
-            QQ = (z <= tol) & (S == 1)
+            clipped = (trial <= tol) & passive
             with np.errstate(divide="ignore", invalid="ignore"):
-                steps = x[QQ] / (x[QQ] - z[QQ])
+                steps = sol[clipped] / (sol[clipped] - trial[clipped])
             steps[~np.isfinite(steps)] = 0.0
             alpha = np.min(steps)
-            x += alpha * (z - x)
-            pass_turned_zero = (S == 1) & (np.abs(x) < tol)
-            S[pass_turned_zero] = 0
-            z[pass_turned_zero] = 0
-            PP = _solve_passive()
-        x[:] = z
-        w = Xty - np.dot(X.T, np.dot(X[:, PP], x[PP]))
+            sol += alpha * (trial - sol)
+            dropped = passive & (np.abs(sol) < tol)
+            passive[dropped] = False
+            trial[dropped] = 0
+            passive_idx = _solve_passive()
+        sol[:] = trial
+        grad = Xty - np.dot(X.T, np.dot(X[:, passive_idx],
+                                        sol[passive_idx]))
     if outer >= max_outer:
         warnings.warn(
             "nnls_underdetermined hit its iteration cap (%d outer passes) "
             "before reaching optimality; the returned solution is feasible "
             "but may be suboptimal (ill-conditioned or cycling system)."
             % max_outer, RuntimeWarning)
-    return x, PP, w
+    return sol, passive_idx, grad

@@ -54,6 +54,18 @@ def n_segments(N2, segments=_SEGMENTS):
     return NB * segments
 
 
+def candidates_from_rows(row_res, row_i2, M, segments=_SEGMENTS):
+    """Top-M (row, segment) minima -> ((B, M, 2) [i1, i2] candidates,
+    (B, M) residual values) (XLA, cheap). Input is the flattened
+    (B, Q*N1p) per-row-per-segment minima from row_scan_df3 (``segments``
+    must match the kernel's total segment count, n_segments)."""
+    n1p = row_res.shape[1] // segments
+    negv, flat = lax.top_k(-row_res, M)
+    i1 = flat % n1p
+    i2 = jnp.take_along_axis(row_i2, flat, axis=1)
+    return jnp.stack([i1, i2], axis=2).astype(jnp.int32), -negv
+
+
 def _ps_rows(ref, i):
     """Four presplit components from a packed (1, R, T) ref at row i,
     shaped (T, 1) for row-factor broadcasting."""

@@ -3,6 +3,10 @@
 Tests run on a virtual 8-device CPU mesh with float64 enabled so that
 numerical parity with the float64 reference implementation can be asserted
 tightly. The environment variables must be set before jax is imported.
+
+Set ``MF_TEST_X64=0`` to run with x64 DISABLED — the float32 production
+configuration (what a default TPU runtime uses). Tests that specifically
+assert float64-parity behavior call ``require_x64()`` and skip there.
 """
 
 import os
@@ -14,11 +18,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_ENABLE_X64"] = "true"
+_X64 = os.environ.get("MF_TEST_X64", "1") != "0"
+os.environ["JAX_ENABLE_X64"] = "true" if _X64 else "false"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_enable_x64", _X64)
 # The ambient TPU plugin prepends itself to jax_platforms regardless of the
 # environment variable; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
@@ -28,6 +33,12 @@ import pytest  # noqa: E402
 
 REFERENCE_FIXTURES = os.path.join(
     "/root", "reference", "tests", "integration", "fixtures")
+
+
+def require_x64():
+    """Skip the calling test under the float32 (MF_TEST_X64=0) lane."""
+    if not jax.config.jax_enable_x64:
+        pytest.skip("float64-parity test (x64 runtime only)")
 
 
 def fixture_path(name):

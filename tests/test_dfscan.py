@@ -109,7 +109,7 @@ def test_pallas_df3_kernel_matches_xla(rng):
     """Fused Pallas df3 kernel (interpret mode) == XLA df3 scan, including
     the column-blocked large-N2 path."""
     from microstructure_fingerprinting_tpu.ops import pallas_dfscan as pdf
-    from microstructure_fingerprinting_tpu.ops import pallas_nnls as pk
+    pk = pdf
     for (B, S, N1, N2) in ((3, 40, 70, 60), (2, 24, 140, 600)):
         A1 = np.float32(rng.randn(B, S, N1))
         A2 = np.float32(rng.randn(B, S, N2))

@@ -390,7 +390,7 @@ def test_pallas_engine_matches_default(rng):
 @pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
 def test_pallas_engine_ear_matches_xla(rng):
     """engine='pallas' == engine='xla' on the full mixed-config volume
-    including the 2-fascicle + CSF + EAR bucket (row_scan_4 path)."""
+    including the 2-fascicle + CSF + EAR bucket (df4 scan path)."""
     dic = _make_dictionary(n_atoms=48)
     data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
         dic, rng)
@@ -410,34 +410,31 @@ def test_pallas_engine_ear_matches_xla(rng):
                                    err_msg=p)
 
 
-def test_pallas_rowscan_matches_xla(rng):
-    """Fused Pallas row scan (interpret mode) finds the same optimum as the
-    XLA exhaustive scan, K=2 and K=3 (size-1 third block)."""
+def test_dfscan_matches_exhaustive_batched(rng):
+    """Double-float candidate scans find the same optimum as the tiled XLA
+    exhaustive scans, K=2, K=3 (size-1 third block) and the 4-block case."""
     from microstructure_fingerprinting_tpu.ops import nnls as mfn
-    from microstructure_fingerprinting_tpu.ops import pallas_nnls as pk
+    from microstructure_fingerprinting_tpu.ops import dfscan
     B, S, N1, N2 = 3, 40, 70, 60
     A1 = rng.randn(B, S, N1).astype(np.float32)
     A2 = rng.randn(B, S, N2).astype(np.float32)
     a3 = rng.randn(B, S, 1).astype(np.float32)
     y = rng.randn(B, S).astype(np.float32)
-    rr, ri, ysq, yns, an1, an2 = pk.row_scan_2(A1, A2, y, interpret=True)
-    w0, ind0, obj0 = mfn.exhaustive_2_batched(A1, A2, y)
-    cand, vals = pk.candidates_from_rows(jnp_asarray(rr), jnp_asarray(ri), 4)
-    cand = np.asarray(cand)
-    assert np.all(cand[:, 0, 0] == np.asarray(ind0)[:, 0])
-    assert np.all(cand[:, 0, 1] == np.asarray(ind0)[:, 1])
-    rr, ri = pk.row_scan_3(A1, A2, a3, y, interpret=True)[:2]
-    w0, ind0, obj0 = mfn.exhaustive_3_batched(A1, A2, a3, y)
-    cand, vals = pk.candidates_from_rows(jnp_asarray(rr), jnp_asarray(ri), 4)
-    cand = np.asarray(cand)
-    assert np.all(cand[:, 0, 0] == np.asarray(ind0)[:, 0])
-    assert np.all(cand[:, 0, 1] == np.asarray(ind0)[:, 1])
+    cand, _vals, _ = dfscan.df2_candidates(
+        jnp_asarray(A1), jnp_asarray(A2), jnp_asarray(y), M=4)
+    _w0, ind0, _obj0 = mfn.exhaustive_2_batched(A1, A2, y)
+    assert np.all(np.asarray(cand)[:, 0] == np.asarray(ind0))
+    cand, _vals, _ = dfscan.df3_candidates(
+        jnp_asarray(A1), jnp_asarray(A2), jnp_asarray(a3), jnp_asarray(y),
+        M=4)
+    _w0, ind0, _obj0 = mfn.exhaustive_3_batched(A1, A2, a3, y)
+    assert np.all(np.asarray(cand)[:, 0] == np.asarray(ind0)[:, :2])
     # K=4 (2 fascicles + CSF + EAR shape)
     a4 = rng.randn(B, S, 5).astype(np.float32)
-    rr, rc = pk.row_scan_4(A1, A2, a3, a4, y, interpret=True)[:2]
-    w0, ind0, obj0 = mfn.exhaustive_4_batched(A1, A2, a3, a4, y)
-    cand, vals = pk.candidates_from_rows_4(jnp_asarray(rr), jnp_asarray(rc),
-                                           4, 1, 5)
+    cand, _vals, _ = dfscan.df4_candidates(
+        jnp_asarray(A1), jnp_asarray(A2), jnp_asarray(a3), jnp_asarray(a4),
+        jnp_asarray(y), M=4)
+    _w0, ind0, _obj0 = mfn.exhaustive_4_batched(A1, A2, a3, a4, y)
     assert np.all(np.asarray(cand)[:, 0, :] == np.asarray(ind0))
 
 
@@ -541,6 +538,103 @@ def test_device_finalize_matches_host_refine(rng):
         np.testing.assert_allclose(o_d, o_h, atol=2e-9 * ysq.max())
         assert np.max(np.abs(w_d - w_h)) <= 1e-6 * np.max(np.abs(w_h))
         np.testing.assert_allclose(r_d, r_h, atol=1e-6)
+
+
+def test_fit_noisy_invariant(rng):
+    """Reference noisy-data invariant at the MFModel.fit level: the fitted
+    objective is strictly better than the planted ground truth's residual
+    (= ||added noise||^2), per voxel, through the production fast path
+    (reference test_exhaustive_fingerprinting.py:141-153 lifts the same
+    invariant at the solver level)."""
+    from microstructure_fingerprinting_tpu import MFModel
+    from microstructure_fingerprinting_tpu.ops.noise import gen_SoS_MRI
+    dic = _make_dictionary(n_atoms=48)
+    data, mask, numfasc, peaks, csf_mask, ear_mask, _gt = _synth_volume(
+        dic, rng)
+    np.random.seed(4242)
+    sigma = 0.01 * float(data.max())
+    noisy = gen_SoS_MRI(data, sigma_g=sigma, N=1)
+    noise_sq = np.sum((noisy - data) ** 2, axis=-1)
+    model = MFModel(dic)
+    fit = model.fit(noisy, mask, numfasc, peaks=peaks,
+                    pgse_scheme=dic["sch_mat"], csf_mask=csf_mask,
+                    ear_mask=ear_mask, verbose=0)
+    num_seq = dic["sch_mat"].shape[0]
+    obj = fit.MSE * num_seq
+    active = (numfasc + csf_mask + ear_mask) > 0
+    # the exhaustive fit can always do at least as well as the planted
+    # ground truth, whose residual is exactly the added noise
+    assert np.all(obj[active] <= noise_sq[active] * (1 + 1e-10)), \
+        "fit objective exceeds the planted ground truth residual"
+    assert np.all(fit.R2[active] > 0.9)
+
+
+def test_twopass_production_graph(rng, monkeypatch):
+    """The TPU production graph — two-pass exact scan (f32 row pass +
+    df re-scan, ops/f32scan) + device finalize — on a dictionary large
+    enough to trigger it, vs the float64 host re-scoring path."""
+    import dataclasses
+    from microstructure_fingerprinting_tpu import config as cfg
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
+        cfg.DEFAULTS["solver"], twopass_rows=64))
+    wl = mft.make_fit_workload(num_atom=300, n_vox=8, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    peaks = wl["peaks"].reshape(8, 6)
+    y, csf = wl["y"], wl["sig_csf"]
+    ysq = np.sum(y.astype(np.float64) ** 2, axis=1)
+    sch = wl["sch_mat"]
+    TE, b = sch[:, 6], b_values(sch)
+    Dear = np.linspace(0.8e-9, 2.6e-9, 4)
+    sig_ear = (np.exp(-TE / 0.8)[:, None]
+               * np.exp(-b[:, None] * Dear[None]))
+    for kw in ({}, {"sig_ear": sig_ear, "ear_on": True}):
+        host = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
+                               batch=8, device_finalize=False, **kw)
+        dev = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
+                              batch=8, device_finalize=True, **kw)
+        assert np.array_equal(host[1][:, :2], dev[1][:, :2])
+        np.testing.assert_allclose(dev[2], host[2], atol=2e-9 * ysq.max())
+        np.testing.assert_allclose(dev[4], host[4], atol=1e-6)
+
+
+def test_twopass_overflow_fallback(rng, monkeypatch):
+    """With the row budget squeezed below the tie count (duplicate atoms),
+    the overflow host fallback must still return the exact objective."""
+    import dataclasses
+    from microstructure_fingerprinting_tpu import config as cfg
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=12, n_b0=4)
+    sig, _, _ = mft.make_dictionary(sch, num_atom=6)
+    sig = np.tile(sig, (1, 12))                       # 72 cols, 12x each
+    ms = mfi.init_PGSE_multishell_interp(sig, sch,
+                                         np.array([0.0, 0.0, 1.0]))
+    plan = mfi.plan_target_scheme(ms, sch)
+    _xs, ys_t, _cnt = ms.device_tables()
+    n = 6
+    peaks = rng.randn(n, 2, 3)
+    peaks /= np.linalg.norm(peaks, axis=2, keepdims=True)
+    TE = sch[:, 6]
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    csf = np.exp(-TE / 2.0) * np.exp(-b_values(sch) * 3.0e-9)
+    y = 300 * (0.6 * sig[:, 2][None] + 0.4 * csf[None]
+               + 0 * peaks[:, 0, :1])
+    y = np.broadcast_to(y, (n, sch.shape[0])).copy()
+    monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
+        cfg.DEFAULTS["solver"], twopass_rows=8))
+    host = run_bucket_fast(ms, plan, ys_t, peaks.reshape(n, 6), y, csf,
+                           2, True, batch=2, device_finalize=False)
+    dev = run_bucket_fast(ms, plan, ys_t, peaks.reshape(n, 6), y, csf,
+                          2, True, batch=2, device_finalize=True)
+    ysq = np.sum(y.astype(np.float64) ** 2, axis=1)
+    np.testing.assert_allclose(dev[2], host[2], atol=2e-9 * ysq.max())
+    np.testing.assert_allclose(dev[4], host[4], atol=1e-6)
 
 
 def test_k1_fast_path_matches_general(rng):
