@@ -151,6 +151,22 @@ def _finalize_top1(D, sig_csf, sig_ear, y, cand, csf_on=False,
     return w, res, r2
 
 
+@partial(jax.jit, static_argnames=("R", "fused"))
+def _twopass_step3(D, csf_d, y, R, fused):
+    """One fused chunk step of the 2-fascicle+CSF two-pass production
+    path: interval row scan -> row selection -> df re-scan -> winner
+    finalize, in a single compiled program (the stages are tiny-op heavy;
+    one jit removes the dispatch boundaries between them)."""
+    from ..ops import f32scan as f32
+    B, S = y.shape
+    csf_blk = jnp.broadcast_to(csf_d[None, :, None], (B, S, 1))
+    cand, _vals, _ysq, ok = f32.df3_twopass(D[:, 0], D[:, 1], csf_blk, y,
+                                            M=1, R=R, fused=fused)
+    w, obj, r2 = _finalize_top1(D, csf_d, None, y, cand[:, 0],
+                                csf_on=True, ear_on=False, K=2)
+    return cand[:, 0], w, obj, r2, ok
+
+
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
@@ -305,10 +321,15 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 # two-pass exact scan: cheap f32 row minima select the
                 # top-R candidate rows, the double-float scan re-ranks
                 # only those; `okf` flags (rare) voxels whose in-band row
-                # count overflowed R — they are re-solved exactly on the
-                # host after the pull
-                cand2, res2, _ysq, okf = f32.df3_twopass(
-                    D[:, 0], D[:, 1], csf_blk, yy_c, M=pool, R=rows_R)
+                # count overflowed R — they are re-solved exactly over
+                # the full grid after the pull. Scan + finalize run as
+                # ONE compiled step.
+                c0, w_c, obj_c, r2_c, okf = _twopass_step3(
+                    D, csf_d, yy_c, rows_R,
+                    fused=(jax.default_backend() == "tpu"
+                           and mesh is None))
+                fin_d.append((c0, w_c, obj_c, r2_c, okf))
+                continue
             elif jax.default_backend() == "tpu" and mesh is None:
                 # fused one-pass kernel: int8 Gram + compensated chain in
                 # VMEM (the pre-two-pass production path; kept for small
@@ -343,13 +364,25 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         overlaps bucket N's pull/refine (cross-bucket pipelining)."""
         if device_finalize:
             # ONE device->host pull of the per-voxel results for the whole
-            # bucket: the exact-selection scan leaves nothing to re-rank, so the
-            # host's only job is assembling the output arrays.
-            ind2 = np.array(jnp.concatenate([f[0] for f in fin_d])[:n])
-            w_b = np.asarray(jnp.concatenate([f[1] for f in fin_d]))[:n]
-            obj_b = np.asarray(jnp.concatenate([f[2] for f in fin_d]))[:n]
-            r2_b = np.asarray(jnp.concatenate([f[3] for f in fin_d]))[:n]
-            ok_b = np.asarray(jnp.concatenate([f[4] for f in fin_d]))[:n]
+            # bucket: every chunk's (cand, w, obj, r2, ok) is packed into a
+            # single f32 row so the host pays ONE transfer round-trip per
+            # bucket (round-trip latency is severe over remote-attached
+            # links). Indices survive the f32 round-trip exactly (< 2^24).
+            n_cand = fin_d[0][0].shape[1]
+            C_w = fin_d[0][1].shape[1]
+            packed = jnp.concatenate(
+                [jnp.concatenate(
+                    [f[0].astype(jnp.float32), f[1].astype(jnp.float32),
+                     f[2][:, None].astype(jnp.float32),
+                     f[3][:, None].astype(jnp.float32),
+                     f[4][:, None].astype(jnp.float32)], axis=1)
+                 for f in fin_d])
+            pk_np = np.asarray(packed)[:n]
+            ind2 = pk_np[:, :n_cand].astype(np.int32)
+            w_b = pk_np[:, n_cand:n_cand + C_w].astype(np.float64)
+            obj_b = pk_np[:, n_cand + C_w].astype(np.float64)
+            r2_b = pk_np[:, n_cand + C_w + 1].astype(np.float64)
+            ok_b = pk_np[:, n_cand + C_w + 2] > 0.5
             if not ok_b.all():
                 # two-pass row-budget overflow (heavily tied voxels): re-run
                 # just those voxels through the full-grid one-pass df scan on
@@ -360,26 +393,37 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 w_b = np.array(w_b)
                 obj_b = np.array(obj_b)
                 r2_b = np.array(r2_b)
-                for st in range(0, bad.size, batch):
-                    sel = bad[st:st + batch]
+                # overflow is rare (per-mille), so the full-grid re-scan
+                # runs at a small fixed batch — one cheap extra compile
+                # instead of a full-size chunk per bucket
+                fb = min(batch, 64)
+                for st in range(0, bad.size, fb):
+                    sel = bad[st:st + fb]
                     m = sel.size
-                    pk_f = np.zeros((batch, K, 3), dtype=dt)
-                    y_f = np.zeros((batch, S), dtype=dt)
+                    pk_f = np.zeros((fb, K, 3), dtype=dt)
+                    y_f = np.zeros((fb, S), dtype=dt)
                     pk_f[:m] = pk64[sel]
                     y_f[:m] = y_all[sel]
-                    if m < batch:
+                    if m < fb:
                         pk_f[m:] = pk_f[0]
                         y_f[m:] = y_f[0]
                     pk_fd = jnp.asarray(pk_f)
                     y_fd = jnp.asarray(y_f)
                     D_f = rotator(tables_ys, pk_fd)
                     csf_f = jnp.broadcast_to(csf_d[None, :, None],
-                                             (batch, S, 1))
+                                             (fb, S, 1))
                     if ear_on:
                         ear_f = jnp.broadcast_to(ear_d[None, :, :],
-                                                 (batch, S, E))
+                                                 (fb, S, E))
                         cand_f, _rf, _yf = dfscan.df4_candidates(
                             D_f[:, 0], D_f[:, 1], csf_f, ear_f, y_fd, M=1)
+                    elif jax.default_backend() == "tpu" and mesh is None:
+                        from ..ops import pallas_dfscan as pdf
+                        rr_f, ri_f, _yf = pdf.row_scan_df3(
+                            D_f[:, 0], D_f[:, 1], csf_f, y_fd)
+                        cand_f, _rf = pdf.candidates_from_rows(
+                            rr_f, ri_f, 1,
+                            segments=pdf.n_segments(D_f.shape[3]))
                     else:
                         cand_f, _rf, _yf = dfscan.df3_candidates(
                             D_f[:, 0], D_f[:, 1], csf_f, y_fd, M=1)

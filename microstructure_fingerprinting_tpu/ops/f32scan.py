@@ -45,9 +45,13 @@ selection is then unconditional.
 import math
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import dfscan
 from . import nnls as mfn
@@ -130,8 +134,78 @@ def _fold(lo, up, lo2, up2):
     return jnp.minimum(lo, lo2), jnp.minimum(up, up2)
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def rowmin_3(A1, A2, a3, y, tile=256):
+def _rowmin3_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
+                    *, n2, n2b):
+    """Pallas TPU kernel: one (i1-tile x column-block) cell of the f32
+    interval row scan. Same formulas as rowmin_3's XLA body; constants
+    are python floats (array constants cannot be captured by kernels).
+    Output block (1, 8, T) is revisited across the innermost (column
+    block) grid axis: row 0 accumulates lo, row 1 accumulates up."""
+    EPS = 1.1920929e-07
+    TOL = float(100 * 1.1920929e-07)
+    KER = float(32 * 1.1920929e-07)
+    INF = float(np.inf)
+    cb = pl.program_id(2)
+    a = lax.dot_general(a1_ref[0], a2_ref[0], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # (T, N2B)
+    rp = lambda i: row_ref[0, i][:, None]
+    (d1t, invd1t, kap_pt, rho1t, kap_bt, d1pt, invd1pt, kap_ppt,
+     rho13t, lo_rt, up_rt, stab1t) = (rp(i) for i in range(12))
+    cp = lambda i: col_ref[0, i][None, :]
+    d2c, qc, cc, d2pc, q2pc, kapcc = (cp(i) for i in range(6))
+    u3v = vox_ref[0, 0, 0]
+    invd3v = vox_ref[0, 0, 1]
+
+    # support {1,2}
+    pivA = d2c - a * a * invd1t
+    stabA = pivA > EPS * d2c
+    invA = jnp.where(stabA, 1.0 / jnp.where(stabA, pivA, 1.0), 0.0)
+    tA = qc - a * kap_pt
+    w2 = tA * invA
+    w1 = kap_pt - a * invd1t * w2
+    feas12 = stabA & (w1 > 0) & (w2 > 0)
+    res12 = rho1t - tA * w2
+    res12 = jnp.where(jnp.isnan(res12), INF, res12)
+    err12 = KER * (1.0 + jnp.abs(w1) + jnp.abs(w2))
+    lo = jnp.where(feas12, res12 - err12, jnp.where(stabA, INF, -KER))
+    up = jnp.where(feas12, res12 + err12, INF)
+
+    # support {1,2,3}
+    ap = a - kap_bt * cc
+    pivB = d2pc - ap * ap * invd1pt
+    stabB = (stab1t > 0.5) & (pivB > EPS * d2c)
+    invB = jnp.where(stabB, 1.0 / jnp.where(stabB, pivB, 1.0), 0.0)
+    tB = q2pc - ap * kap_ppt
+    w2f = tB * invB
+    w1f = kap_ppt - ap * invd1pt * w2f
+    w3f = u3v - kap_bt * w1f - kapcc * w2f
+    ok3 = d1pt * pivB > TOL * d1t * d2c
+    tolw = TOL * invd3v * invd1pt * invB
+    feas123 = (stabB & ok3 & (w1f >= -tolw) & (w2f >= -tolw)
+               & (w3f >= -tolw))
+    res123 = rho13t - tB * w2f
+    res123 = jnp.where(jnp.isnan(res123), INF, res123)
+    err123 = KER * (1.0 + jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
+    lo = jnp.minimum(lo, jnp.where(feas123, res123 - err123,
+                                   jnp.where(stabB, INF, -KER)))
+    up = jnp.minimum(up, jnp.where(feas123, res123 + err123, INF))
+
+    col = cb * n2b + lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    valid = col < n2
+    lo = jnp.where(valid, lo, INF)
+    up = jnp.where(valid, up, INF)
+    lo_t = jnp.min(lo, axis=1)
+    up_t = jnp.min(up, axis=1)
+    first = cb == 0
+    prev_lo = jnp.where(first, lo_rt[:, 0], out_ref[0, 0])
+    prev_up = jnp.where(first, up_rt[:, 0], out_ref[0, 1])
+    out_ref[0, 0] = jnp.minimum(prev_lo, lo_t)
+    out_ref[0, 1] = jnp.minimum(prev_up, up_t)
+
+
+@partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
+def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
     """f32 per-row residual intervals for the [N1, N2, 1] configuration.
 
     A1 (B, S, N1), A2 (B, S, N2), a3 (B, S, 1), y (B, S).
@@ -139,8 +213,13 @@ def rowmin_3(A1, A2, a3, y, tile=256):
     bounds of min_{i2} over supports CONTAINING block 1, plus the
     per-voxel upper bound of the block-1-free supports (normalized
     problem). The full row minimum is min(row interval, floor).
+    ``pallas`` runs the per-point chain as a fused VMEM kernel
+    (_rowmin3_kernel — TPU, or anywhere with ``interpret``); the plain
+    XLA body is the portable default.
     """
     B, S, N1 = A1.shape
+    if pallas:
+        tile = 128
     A1h, _ = mfn._normalize_block(A1)
     A2h, _ = mfn._normalize_block(A2)
     A3h, _ = mfn._normalize_block(a3)
@@ -203,6 +282,50 @@ def rowmin_3(A1, A2, a3, y, tile=256):
                               invd1p, kap_pp, rho13, lo_row, up_row)]
     stab1p = (jnp.pad(stab1, ((0, 0), (0, N1p - N1)))
               if N1p > N1 else stab1)
+
+    if pallas:
+        N2 = A2.shape[2]
+        NB = 1
+        N2_128 = int(math.ceil(N2 / 128) * 128)
+        while N2_128 // NB > 512 and NB < 8:
+            NB *= 2
+        N2B = int(math.ceil(N2_128 / NB / 128) * 128)
+        N2pb = NB * N2B
+        A2p = jnp.pad(A2h, ((0, 0), (0, 0), (0, N2pb - N2)))
+        stab1f = stab1p.astype(jnp.float32)
+        row_pack = jnp.stack(rowv + [stab1f], axis=1)  # (B, 12, N1p)
+        row_pack = jnp.pad(row_pack, ((0, 0), (0, 4), (0, 0)))
+        col_pack = jnp.stack([d2, q_, c_, d2p, q2p, kap_c], axis=1)
+        col_pack = jnp.pad(col_pack,
+                           ((0, 0), (0, 2), (0, N2pb - N2)))
+        vox = jnp.stack([u3[:, 0], invd3[:, 0]]
+                        + [jnp.zeros_like(u3[:, 0])] * 6,
+                        axis=1)[:, None, :]                # (B, 1, 8)
+        grid = (B, N1p // tile, NB)
+        out = pl.pallas_call(
+            partial(_rowmin3_kernel, n2=N2, n2b=N2B),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, S, tile), lambda b, t, c: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, N2B), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16, tile), lambda b, t, c: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, N2B), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8), lambda b, t, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, tile), lambda b, t, c: (b, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
+            interpret=interpret,
+        )(A1h, A2p, row_pack, col_pack, vox)
+        row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
+        lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
+        up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
+        return lo, up, upf
 
     cc_ = lambda x: x[:, None, :]
     d2c, qc, cc = cc_(d2), cc_(q_), cc_(c_)
@@ -468,30 +591,57 @@ def _select_rows(lo, up, up_floor, R):
     included: when the block-1-free floor wins, every grid point ties at
     the floor and the reference first-minimum lands in row 0. The
     returned rows are sorted by INDEX so the df re-scan's local
-    first-minimum tie-breaking coincides with the global reference order.
+    first-minimum tie-breaking coincides with the global reference order;
+    sorting comes free by running ONE top_k on an integer key that ranks
+    in-band rows by index (then out-of-band rows by index).
     Returns (rows (B, R) int32 ascending, ok (B,) bool: False when more
     than R - 1 rows qualify)."""
+    N1 = lo.shape[1]
     U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
-    n_cand = jnp.sum(lo <= U, axis=1)
+    in_band = lo <= U
+    n_cand = jnp.sum(in_band, axis=1)
     ok = n_cand <= R - 1
-    lo_sel = lo.at[:, 0].set(-jnp.inf)                     # force row 0
-    _negv, rows = lax.top_k(-lo_sel, R)
-    rows = jnp.sort(rows, axis=1)
+    idx = lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+    key = jnp.where(in_band, idx, idx + N1)
+    key = key.at[:, 0].set(-1)                             # force row 0
+    _negv, rows = lax.top_k(-key, R)  # R smallest keys, index-ascending
     return rows.astype(jnp.int32), ok
 
 
-@partial(jax.jit, static_argnames=("M", "R"))
-def df3_twopass(A1, A2, a3, y, M=1, R=128):
+def _gather_cols(A, rows):
+    """Gather columns A[b, :, rows[b]] -> (B, S, R) via a one-hot MXU
+    matmul: an XLA gather on the minor (lane) axis was measured 10x
+    slower than this exact-copy matmul (one-hot entries are exact in
+    every pass of a HIGHEST f32 contraction)."""
+    N1 = A.shape[2]
+    oh = (rows[:, None, :] == lax.broadcasted_iota(
+        jnp.int32, (1, N1, 1), 1)).astype(A.dtype)          # (B, N1, R)
+    return jnp.einsum("bsn,bnr->bsr", A, oh, **_HP)
+
+
+@partial(jax.jit, static_argnames=("M", "R", "fused"))
+def df3_twopass(A1, A2, a3, y, M=1, R=128, fused=None):
     """Two-pass exact top-M for [N1, N2, 1]: f32 interval row scan -> df
     re-scan of the top-R rows. Returns (cand (B, M, 2), res (B, M),
     y_sq (B,), ok (B,) bool). Where ``ok`` is False the caller must
     re-solve the voxel over the full grid (the selection guarantee only
-    covers in-budget voxels)."""
+    covers in-budget voxels). ``fused`` selects the Pallas df kernel for
+    the re-scan (default: on for the TPU backend; the XLA scan otherwise
+    — identical selection, exact ties may resolve to a different equal-
+    residual candidate between the two, as between the one-pass paths)."""
     B, S, N1 = A1.shape
-    lo, up, up_floor = rowmin_3(A1, A2, a3, y)
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    lo, up, up_floor = rowmin_3(A1, A2, a3, y, pallas=bool(fused))
     rows, ok = _select_rows(lo, up, up_floor, R)
-    A1_sel = jnp.take_along_axis(A1, rows[:, None, :], axis=2)
-    cand, vals, y_sq = dfscan.df3_candidates(A1_sel, A2, a3, y, M=M)
+    A1_sel = _gather_cols(A1, rows)
+    if fused:
+        from . import pallas_dfscan as pdf
+        rr, ri, y_sq = pdf.row_scan_df3(A1_sel, A2, a3, y)
+        cand, vals = pdf.candidates_from_rows(
+            rr, ri, M, segments=pdf.n_segments(A2.shape[2]))
+    else:
+        cand, vals, y_sq = dfscan.df3_candidates(A1_sel, A2, a3, y, M=M)
     # +inf pool entries may carry padded local rows -> clamp before gather
     loc = jnp.clip(cand[:, :, 0], 0, R - 1)
     i1 = jnp.take_along_axis(rows, loc, axis=1)
@@ -505,7 +655,7 @@ def df4_twopass(A1, A2, a3, a4, y, M=1, R=128):
     Returns (cand (B, M, 4), res (B, M), y_sq (B,), ok (B,))."""
     lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y)
     rows, ok = _select_rows(lo, up, up_floor, R)
-    A1_sel = jnp.take_along_axis(A1, rows[:, None, :], axis=2)
+    A1_sel = _gather_cols(A1, rows)
     cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y, M=M)
     loc = jnp.clip(cand[:, :, 0], 0, R - 1)
     i1 = jnp.take_along_axis(rows, loc, axis=1)
