@@ -58,27 +58,37 @@ from . import nnls as mfn
 
 _HP = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
-_TOL = jnp.float32(100 * 1.1920929e-07)
-_EPS = jnp.float32(1.1920929e-07)
+_TOL = float(100 * 1.1920929e-07)
+_EPS = float(1.1920929e-07)
 #: per-candidate f32 error radius = KERR * (1 + sum |w_i|).
 #: The progressive chains are ~15 sequential f32 ops on O(1)-magnitude
 #: operands; 32 eps leaves a ~3x margin over the measured worst error
 #: (~2.5e-6 at weight-sum 1 on fingerprint-like data; validated in tests).
-KERR = jnp.float32(32 * 1.1920929e-07)
-_INF = jnp.float32(jnp.inf)
+#: Python floats (weak-typed): f32 compute is preserved and the
+#: ``det_tol > 0`` routing stays a static Python bool under jit.
+KERR = float(32 * 1.1920929e-07)
+_INF = float(np.inf)
 
 
 def _sanit(x):
     return jnp.where(jnp.isnan(x), jnp.inf, x)
 
 
-def _interval(feas, stab, res, ws):
+def _interval(feas, stab, res, ws, excl=False):
     """(lo, up) for one support: feasible -> res +- KERR*(1+ws);
     numerically unstable (pivot too small to divide) -> sound fallback
-    [-KERR, +inf); infeasible -> no contribution."""
+    [-KERR, +inf); infeasible -> no contribution.
+
+    ``excl=True`` marks a det-GUARDED support family (the 4-block
+    enumeration): the mirrored one-pass scan excludes supports whose df
+    determinant fails its 100*eps guard, and an f32 pivot below the
+    stability cutoff (eps << 100*eps, pivots bounded by their diagonals)
+    implies that df guard also fails — so the unstable case contributes
+    nothing instead of the band-polluting [-KERR, +inf)."""
     err = KERR * (1.0 + ws)
     res = _sanit(res)
-    lo = jnp.where(feas, res - err, jnp.where(stab, _INF, -KERR))
+    fb = _INF if excl else -KERR
+    lo = jnp.where(feas, res - err, jnp.where(stab, _INF, fb))
     up = jnp.where(feas, res + err, _INF)
     return lo, up
 
@@ -103,7 +113,8 @@ def _sub2(dA, dB, g, pA, pB, w, det_tol):
     wa = (pA - g * wb) * invA
     feas = stab & (piv > det_tol * dB) & (wa >= 0) & (wb >= 0)
     res = w - pA * pA * invA - t * wb
-    return _interval(feas, stab, res, jnp.abs(wa) + jnp.abs(wb))
+    return _interval(feas, stab, res, jnp.abs(wa) + jnp.abs(wb),
+                     excl=bool(det_tol > 0))
 
 
 def _sub3(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w, det_tol):
@@ -127,7 +138,8 @@ def _sub3(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w, det_tol):
             & (wa >= 0) & (wb >= 0) & (wc >= 0))
     res = w - pA * pA * invA - tB * tB * invB - tC * wc
     return _interval(feas, stab, res,
-                     jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc))
+                     jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc),
+                     excl=bool(det_tol > 0))
 
 
 def _fold(lo, up, lo2, up2):
@@ -391,15 +403,148 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
     return lo, up, upf
 
 
+def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
+    """Shared per-point math of the 4-block f32 interval row pass: one
+    (i1-tile x i2-block) cell given the raw Gram tile ``a`` and the
+    hoisted row/column/voxel chain prefixes (see rowmin_4's packing).
+
+    Support ENUMERATION, mirroring the one-pass df4 semantics: the NNLS
+    optimum at a point is attained on some support whose unconstrained
+    solution is feasible, so the per-point interval is the fold of the
+    feasibility-cased intervals of every support containing {1, 2}:
+    {1,2}, {1,2,i3} x N3, {1,2,i4} x N4, {1,2,i3,i4} x N3*N4. Supports
+    missing block 2 fold in at row level, supports missing block 1 in
+    the floor (rowmin_4).
+
+    THREE-ZONE pivot guards: the one-pass df4 scan EXCLUDES supports
+    whose pivots fail their 100*eps guards (dfscan ok34/rowok/pointok),
+    so each f32 pivot is classed include (> 2*TOL*diag: full
+    feasibility-cased interval), shell ((0.5..2)*TOL*diag: the df guard
+    could go either way at f32 resolution -> sound [-err, +inf)), or
+    exclude (< 0.5*TOL*diag: pivots never exceed their diagonals, so
+    the df pivot is certainly below its guard -> no contribution).
+    Without the exclude zone every guard-failing point dragged its row
+    into the band (measured: bands of 100-800 rows on noiseless EAR
+    voxels whose U is at the err-radius scale). Borderline f32
+    feasibility flips move between supports whose residuals agree to
+    second order and are absorbed by the err radius (module docstring).
+
+    ``rowv(i)`` -> row vector broadcastable as (..., T, 1), ``colv(i)``
+    -> (..., 1, N2B), ``voxv(i)`` -> scalar/(...,1,1). Layouts, with
+    X ranging over the n3 + n4 single-extra columns (i3 first) and
+    zone flags z* in {0, 0.5, 1}:
+      rows: [invd1, p1] + per X [L1X, invd1pX, kap_ppX, rho1X, zX]
+            + per s [L14, invD1h, kap1, rho1f, zr]
+      cols: [d2, q2] + per X [kap_cX, d2pX, q2pX, cX]
+            + per s [e4c, L24, d2r, q2r]
+      vox:  [w] + per X [uX] + per s [u4, L43, z34]
+    Returns (lo, up) tiles.
+    """
+    TOL = float(100 * 1.1920929e-07)
+    KER = float(32 * 1.1920929e-07)
+    KER4 = float(64 * 1.1920929e-07)
+    INF = float(np.inf)
+    nx = n3 + n4
+    ns = n3 * n4
+    invd1, p1 = rowv(0), rowv(1)
+    d2c, qc = colv(0), colv(1)
+    w_ = voxv(0)
+
+    def fold(lo, up, z, feas_w, res, err):
+        incl = z > 0.75
+        shell = z > 0.25
+        feas = incl & feas_w
+        lo_s = jnp.where(feas, res - err,
+                         jnp.where(incl | ~shell, INF, -KER))
+        lo2 = jnp.minimum(lo, lo_s)
+        up2 = jnp.minimum(up, jnp.where(feas, res + err, INF))
+        return lo2, up2
+
+    # support {1,2}
+    pivA = d2c - a * a * invd1
+    zA = jnp.where(pivA > 2 * TOL * d2c, 1.0,
+                   jnp.where(pivA > 0.5 * TOL * d2c, 0.5, 0.0))
+    invA = jnp.where(zA > 0.25, 1.0 / jnp.where(zA > 0.25, pivA, 1.0),
+                     0.0)
+    tA = qc - a * (p1 * invd1)
+    w2 = tA * invA
+    w1 = (p1 - a * w2) * invd1
+    res12 = _sanit(w_ - p1 * (p1 * invd1) - tA * w2)
+    err12 = KER * (1.0 + jnp.abs(w1) + jnp.abs(w2))
+    lo = jnp.full_like(a, INF)
+    up = jnp.full_like(a, INF)
+    lo, up = fold(lo, up, zA, (w1 >= 0) & (w2 >= 0), res12, err12)
+
+    # supports {1,2,X}: chain X -> 1 -> 2 (prefixes hoisted)
+    for x in range(nx):
+        L1x, invd1px, kap_ppx, rho1x, zx = (rowv(2 + 5 * x + j)
+                                            for j in range(5))
+        kap_cx, d2px, q2px, cxc = (colv(2 + 4 * x + j) for j in range(4))
+        ux = voxv(1 + x)
+        ap = a - L1x * cxc
+        pivB = d2px - ap * ap * invd1px
+        zB = jnp.minimum(
+            zx, jnp.where(pivB > 2 * TOL * d2c, 1.0,
+                          jnp.where(pivB > 0.5 * TOL * d2c, 0.5, 0.0)))
+        invB = jnp.where(zB > 0.25,
+                         1.0 / jnp.where(zB > 0.25, pivB, 1.0), 0.0)
+        tB = q2px - ap * kap_ppx
+        w2t = tB * invB
+        w1t = kap_ppx - ap * invd1px * w2t
+        w3t = ux - L1x * w1t - kap_cx * w2t
+        res3 = _sanit(rho1x - tB * w2t)
+        err3 = KER * (1.0 + jnp.abs(w1t) + jnp.abs(w2t) + jnp.abs(w3t))
+        lo, up = fold(lo, up, zB, (w1t >= 0) & (w2t >= 0) & (w3t >= 0),
+                      res3, err3)
+
+    # full supports {1, 2, i3, i4}: LDL finish per (i3, i4) pair
+    r0, c0, v0 = 2 + 5 * nx, 2 + 4 * nx, 1 + nx
+    for s in range(ns):
+        i3 = s // n4
+        L13 = rowv(2 + 5 * i3)
+        kap_c3 = colv(2 + 4 * i3)
+        c3c = colv(2 + 4 * i3 + 3)
+        u3 = voxv(1 + i3)
+        L14, invD1h, kap1, rho1f, zr = (rowv(r0 + 5 * s + j)
+                                        for j in range(5))
+        e4c, L24, d2r, q2r = (colv(c0 + 4 * s + j) for j in range(4))
+        u4, L43, z34 = (voxv(v0 + 3 * s + j) for j in range(3))
+        NUM = a - L13 * c3c - L14 * e4c
+        D2h = d2r - NUM * NUM * invD1h
+        zF = jnp.minimum(
+            jnp.minimum(z34, zr),
+            jnp.where(D2h > 2 * TOL * d2c, 1.0,
+                      jnp.where(D2h > 0.5 * TOL * d2c, 0.5, 0.0)))
+        invF = jnp.where(zF > 0.25,
+                         1.0 / jnp.where(zF > 0.25, D2h, 1.0), 0.0)
+        pi2 = q2r - NUM * kap1
+        w2f = pi2 * invF
+        w1f = kap1 - NUM * invD1h * w2f
+        w4f = u4 - L14 * w1f - L24 * w2f
+        w3f = u3 - L43 * w4f - L13 * w1f - kap_c3 * w2f
+        resF = _sanit(rho1f - pi2 * w2f)
+        errF = KER4 * (1.0 + jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f)
+                       + jnp.abs(w4f))
+        lo, up = fold(lo, up, zF,
+                      (w1f >= 0) & (w2f >= 0) & (w3f >= 0) & (w4f >= 0),
+                      resF, errF)
+    return lo, up
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def rowmin_4(A1, A2, a3, a4, y, tile=256):
-    """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config):
-    min over (i2, i3, i4) of the block-1-involving supports, progressive-
-    elimination form with df4's det > 100*eps guards.
-    Returns (lo (B, N1), up (B, N1), up_floor (B,)) like rowmin_3."""
+    """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config).
+
+    Per (i1, i2) point, the ns = N3*N4 (i3, i4) LDL finishes run off
+    hoisted per-row/per-column/per-voxel chain prefixes (_rowmin4_body);
+    the per-row bound is the min over i2, folded with the row supports
+    {1}, {1,i3}, {1,i4}, {1,i3,i4} (exact df4 case semantics, up only —
+    the per-point unconstrained full-support lo already bounds them).
+    up_floor: block-1-free enumeration.
+    Returns (lo (B, N1), up (B, N1), up_floor (B,)).
+    """
     B, S, N1 = A1.shape
     N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
-    NS = N3 * N4
     A1h, _ = mfn._normalize_block(A1)
     A2h, _ = mfn._normalize_block(A2)
     A3h, _ = mfn._normalize_block(a3)
@@ -446,132 +591,133 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256):
                              w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
 
-    # ---- per-sweep elimination hoists (csf=3 then ear=4 first) ----
-    invd3 = 1.0 / d3e
-    L43 = ge * invd3
-    D4h = d4e - ge * L43
-    ok34 = D4h > _TOL * d4e
-    invD4h = jnp.where(ok34, 1.0 / jnp.where(ok34, D4h, 1.0), 0.0)
-    t4 = r4e - L43 * r3e
-    rho34 = w4 - r3e * r3e * invd3 - t4 * t4 * invD4h
-    u3 = r3e * invd3
+    # ---- row-level supports {1}, {1,i3}, {1,i4}, {1,i3,i4} ----
+    we2 = w_[:, None]
+    d1e = d1[:, :, None, None]
+    p1e = p_[:, :, None, None]
+    b3e = b3[:, :, :, None]
+    b4e = b4[:, :, None, :]
+    lo_r, up_r = _sub1(d1, p_, we2)
+    for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, _TOL),
+                       _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
+                       _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
+                             r4e, w4, _TOL)):
+        lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, N1, -1), axis=2))
+        up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, N1, -1), axis=2))
+
+    # ---- chain-prefix hoists for the per-point support enumeration ----
+    NS = N3 * N4
+    # voxel-level: eliminate 3 then 4
+    invd3v = 1.0 / jnp.maximum(d3, _EPS)                   # (B, N3)
+    invd4v = 1.0 / jnp.maximum(d4, _EPS)                   # (B, N4)
+    L43 = g34 * invd3v[:, :, None]                         # (B, N3, N4)
+    D4h = d4[:, None, :] - g34 * L43
+    stab34 = D4h > _TOL * d4[:, None, :]
+    invD4h = jnp.where(stab34, 1.0 / jnp.where(stab34, D4h, 1.0), 0.0)
+    t4 = r4[:, None, :] - L43 * r3[:, :, None]
+    rho34 = (w_[:, None, None] - r3[:, :, None] ** 2 * invd3v[:, :, None]
+             - t4 * t4 * invD4h)                           # (B, N3, N4)
+    u3 = r3 * invd3v                                       # (B, N3)
+    u4o = r4 * invd4v                                      # (B, N4)
     u4 = t4 * invD4h
-    L23 = c3e * invd3                                      # (B, N2, N3, 1)
-    e4c = c4e - L43 * c3e
-    L24 = e4c * invD4h
-    d2r = d2e - c3e * L23 - e4c * L24
-    q2r = q2e - L23 * r3e - L24 * t4
+
+    # rows: single-extra {1,2,X} chain pieces (X = i3's then i4's)
+    def _x_chain(bX, rX, invdX, Nx):
+        L1x = bX * invdX[:, None, :]                       # (B, N1, Nx)
+        d1px = d1[:, :, None] - bX * L1x
+        stabx = d1px > _EPS * d1[:, :, None]
+        invd1px = jnp.where(stabx, 1.0 / jnp.where(stabx, d1px, 1.0), 0.0)
+        p1x = p_[:, :, None] - L1x * rX[:, None, :]
+        kap_ppx = p1x * invd1px
+        rho1x = (w_[:, None, None]
+                 - rX[:, None, :] ** 2 * invdX[:, None, :]
+                 - p1x * kap_ppx)
+        return L1x, invd1px, kap_ppx, rho1x, stabx
+
+    L13, invd1p3, kap_pp3, rho13, stab3r = _x_chain(b3, r3, invd3v, N3)
+    L14o, invd1p4, kap_pp4, rho14, stab4r = _x_chain(b4, r4, invd4v, N4)
+
+    # rows: per-pair LDL pieces (order 3 -> 4 -> 1 -> 2)
+    e4r = b4[:, :, None, :] - L43[:, None] * b3[:, :, :, None]
+    L14 = e4r * invD4h[:, None]                            # (B, N1, N3, N4)
+    D1h = (d1[:, :, None, None] - b3[:, :, :, None] * L13[:, :, :, None]
+           - e4r * L14)
+    stabr = (stab3r[:, :, :, None]
+             & (D1h > _TOL * d1[:, :, None, None]))
+    invD1h = jnp.where(stabr, 1.0 / jnp.where(stabr, D1h, 1.0), 0.0)
+    pi1 = (p_[:, :, None, None]
+           - L13[:, :, :, None] * r3[:, None, :, None] - L14 * t4[:, None])
+    kap1 = pi1 * invD1h
+    rho1f = rho34[:, None] - pi1 * kap1                    # (B, N1, N3, N4)
+
+    # cols
+    def _x_cols(cX, rX, invdX):
+        kap_cx = cX * invdX[:, None, :]                    # (B, N2, Nx)
+        d2px = d2[:, :, None] - cX * kap_cx
+        q2px = q_[:, :, None] - kap_cx * rX[:, None, :]
+        return kap_cx, d2px, q2px
+
+    kap_c3, d2p3, q2p3 = _x_cols(c3, r3, invd3v)
+    kap_c4, d2p4, q2p4 = _x_cols(c4, r4, invd4v)
+    e4cc = c4[:, :, None, :] - L43[:, None] * c3[:, :, :, None]
+    L24 = e4cc * invD4h[:, None]                           # (B, N2, N3, N4)
+    d2r = (d2[:, :, None, None]
+           - c3[:, :, :, None] * kap_c3[:, :, :, None] - e4cc * L24)
+    q2r = (q_[:, :, None, None]
+           - kap_c3[:, :, :, None] * r3[:, None, :, None] - L24 * t4[:, None])
+
+    fl = jnp.float32
+    rows = [1.0 / d1, p_]
+    for i3 in range(N3):
+        rows += [L13[:, :, i3], invd1p3[:, :, i3], kap_pp3[:, :, i3],
+                 rho13[:, :, i3], stab3r[:, :, i3].astype(fl)]
+    for i4 in range(N4):
+        rows += [L14o[:, :, i4], invd1p4[:, :, i4], kap_pp4[:, :, i4],
+                 rho14[:, :, i4], stab4r[:, :, i4].astype(fl)]
+    for s in range(NS):
+        i3, i4 = divmod(s, N4)
+        rows += [L14[:, :, i3, i4], invD1h[:, :, i3, i4],
+                 kap1[:, :, i3, i4], rho1f[:, :, i3, i4],
+                 stabr[:, :, i3, i4].astype(fl)]
+    cols = [d2, q_]
+    for i3 in range(N3):
+        cols += [kap_c3[:, :, i3], d2p3[:, :, i3], q2p3[:, :, i3],
+                 c3[:, :, i3]]
+    for i4 in range(N4):
+        cols += [kap_c4[:, :, i4], d2p4[:, :, i4], q2p4[:, :, i4],
+                 c4[:, :, i4]]
+    for s in range(NS):
+        i3, i4 = divmod(s, N4)
+        cols += [e4cc[:, :, i3, i4], L24[:, :, i3, i4],
+                 d2r[:, :, i3, i4], q2r[:, :, i3, i4]]
+    vox = [w_]
+    for i3 in range(N3):
+        vox.append(u3[:, i3])
+    for i4 in range(N4):
+        vox.append(u4o[:, i4])
+    for s in range(NS):
+        i3, i4 = divmod(s, N4)
+        vox += [u4[:, i3, i4], L43[:, i3, i4],
+                stab34[:, i3, i4].astype(fl)]
 
     n_tiles = int(math.ceil(N1 / tile))
     N1p = n_tiles * tile
-    pad2 = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
-                      if N1p > N1 else x)
     padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
                       if N1p > N1 else x)
-    pad3 = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1), (0, 0)))
-                      if N1p > N1 else x)
-    A1p = pad2(A1h)
-    d1p_, p1p_ = padr(d1), padr(p_)
-    b3p, b4p = pad3(b3), pad3(b4)
-
-    we2 = w_[:, None]
+    A1p = (jnp.pad(A1h, ((0, 0), (0, 0), (0, N1p - N1)))
+           if N1p > N1 else A1h)
+    rows = [padr(x) for x in rows]
 
     def body(t):
         st = t * tile
-        a = jnp.einsum(
-            "bst,bsn->btn",
-            lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile)), A2h, **_HP)
-        d1t = lax.dynamic_slice(d1p_, (0, st), (B, tile))
-        p1t = lax.dynamic_slice(p1p_, (0, st), (B, tile))
-        b3t = lax.dynamic_slice(b3p, (0, st, 0), (B, tile, N3))
-        b4t = lax.dynamic_slice(b4p, (0, st, 0), (B, tile, N4))
-        d1e = d1t[:, :, None, None]
-        p1e = p1t[:, :, None, None]
-        b3e = b3t[:, :, :, None]
-        b4e = b4t[:, :, None, :]
-
-        # row intervals: supports {1}, {1,3}, {1,4}, {1,3,4}
-        lo_r, up_r = _sub1(d1t, p1t, we2)
-        for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, _TOL),
-                           _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
-                           _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
-                                 r4e, w4, _TOL)):
-            lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, tile, -1),
-                                             axis=2))
-            up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, tile, -1),
-                                             axis=2))
-
-        # row LDL pieces for the full support, (B, tile, N3, N4)
-        invd1 = 1.0 / d1e
-        L13 = b3e * invd3
-        e4r = b4e - L43 * b3e
-        L14 = e4r * invD4h
-        D1h = d1e - b3e * L13 - e4r * L14
-        rowok = D1h > _TOL * d1e
-        invD1h = jnp.where(rowok, 1.0 / jnp.where(rowok, D1h, 1.0), 0.0)
-        pi1 = p1e - L13 * r3e - L14 * t4
-        kap1 = pi1 * invD1h
-        rho1f = rho34 - pi1 * kap1
-        kap_p = p1e[:, :, 0, :] * invd1[:, :, 0, :]        # (B, tile, 1)
-
-        lo_b = jnp.full((B, tile, N2), jnp.inf, jnp.float32)
-        up_b = jnp.full((B, tile, N2), jnp.inf, jnp.float32)
-        d2cc = d2[:, None, :]
-        qcc = q_[:, None, :]
-        wee = we2[:, :, None]
-
-        # support {1,2} (sweep-independent): df4 semantics — det guard
-        lo_s, up_s = _sub2(d1e[:, :, 0, :], d2cc, a, p1e[:, :, 0, :],
-                           qcc, wee, _TOL)
-        lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
-
-        # supports {1,2,i3} (N3 small, typically 1)
-        for i3 in range(N3):
-            lo_s, up_s = _sub3(
-                d1e[:, :, 0, :], d2cc, d3[:, None, i3:i3 + 1], a,
-                b3t[:, :, i3:i3 + 1], c3[:, None, :, i3],
-                p1e[:, :, 0, :], qcc, r3[:, None, i3:i3 + 1], wee, _TOL)
-            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
-
-        for s in range(NS):
-            i3, i4 = divmod(s, N4)
-            # {1,2,i4}
-            lo_s, up_s = _sub3(
-                d1e[:, :, 0, :], d2cc, d4[:, None, i4:i4 + 1], a,
-                b4t[:, :, i4:i4 + 1], c4[:, None, :, i4],
-                p1e[:, :, 0, :], qcc, r4[:, None, i4:i4 + 1], wee, _TOL)
-            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
-            # full {1,2,3,4}: finish the hoisted LDL at (i1, i2)
-            L23c = L23[:, :, i3, 0][:, None, :]            # (B, 1, N2)
-            L24c = L24[:, :, i3, i4][:, None, :]
-            NUM = (a - b3t[:, :, i3:i3 + 1] * L23c
-                   - e4r[:, :, i3, i4:i4 + 1] * L24c)
-            D2h = (d2r[:, :, i3, i4][:, None, :]
-                   - NUM * NUM * invD1h[:, :, i3, i4:i4 + 1])
-            pok = D2h > _TOL * d2cc
-            pi2 = (q2r[:, :, i3, i4][:, None, :]
-                   - NUM * kap1[:, :, i3, i4:i4 + 1])
-            w_b2 = pi2 * jnp.where(pok, 1.0 / jnp.where(pok, D2h, 1.0),
-                                   0.0)
-            w_b1 = (kap1[:, :, i3, i4:i4 + 1]
-                    - NUM * invD1h[:, :, i3, i4:i4 + 1] * w_b2)
-            w_e4 = (u4[:, :, i3, i4:i4 + 1]
-                    - L14[:, :, i3, i4:i4 + 1] * w_b1 - L24c * w_b2)
-            w_e3 = (u3[:, :, i3, :] - L43[:, :, i3, i4:i4 + 1] * w_e4
-                    - L13[:, :, i3, :] * w_b1 - L23c * w_b2)
-            stabF = (ok34[:, :, i3, i4:i4 + 1]
-                     & rowok[:, :, i3, i4:i4 + 1] & pok)
-            feasF = (stabF & (w_b2 >= 0) & (w_b1 >= 0) & (w_e4 >= 0)
-                     & (w_e3 >= 0))
-            lo_s, up_s = _interval(
-                feasF, True, rho1f[:, :, i3, i4:i4 + 1] - pi2 * w_b2,
-                (jnp.abs(w_b1) + jnp.abs(w_b2) + jnp.abs(w_e3)
-                 + jnp.abs(w_e4)))
-            lo_b, up_b = _fold(lo_b, up_b, lo_s, up_s)
-
-        lo = jnp.minimum(jnp.min(lo_b, axis=2), lo_r)
-        up = jnp.minimum(jnp.min(up_b, axis=2), up_r)
-        return lo, up
+        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
+        a = jnp.einsum("bst,bsn->btn", A1t, A2h, **_HP)
+        rowv = lambda i: lax.dynamic_slice(rows[i], (0, st),
+                                           (B, tile))[:, :, None]
+        colv = lambda i: cols[i][:, None, :]
+        voxv = lambda i: vox[i][:, None, None]
+        lo_t, up_t = _rowmin4_body(a, rowv, colv, voxv, N3, N4)
+        return jnp.min(lo_t, axis=2), jnp.min(up_t, axis=2)
 
     los, ups = zip(*[body(t) for t in range(n_tiles)])
     lo = jnp.concatenate(los, axis=1)
@@ -579,6 +725,8 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256):
     row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
     lo = jnp.where(row < N1, lo, jnp.inf)[:, :N1]
     up = jnp.where(row < N1, up, jnp.inf)[:, :N1]
+    lo = jnp.minimum(lo, lo_r)
+    up = jnp.minimum(up, up_r)
     return lo, up, upf
 
 
