@@ -32,7 +32,7 @@ from ..ops import interp as mfi
 from ..ops import nnls as mfn
 
 
-_TWOPASS_EAR = False  # pending a Pallas f32 row pass for the 4-block scan
+_TWOPASS_EAR = True  # f32 Pallas row pass + df re-scan (ops/f32scan)
 
 
 def _r_squared(y, y_rec):
@@ -305,14 +305,16 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 cand2, res2, _ysq = dfscan.df2_candidates(
                     D[:, 0], csf_blk, yy_c, M=pool)
         elif ear_on:
-            # NOTE: rowmin_4's plain-XLA form materializes its per-sweep
-            # intermediates in HBM (measured slower than the one-pass df4
-            # scan), so the EAR bucket keeps the one-pass path until the
-            # f32 row pass runs as a Pallas kernel.
-            if twopass and _TWOPASS_EAR:
+            # EAR two-pass: Pallas f32 interval row pass (support
+            # enumeration with three-zone guards) + df4 re-scan of the
+            # top rows. The XLA row-pass form materializes its support
+            # tiles in HBM (measured 3x slower than even the one-pass df4
+            # scan), so the two-pass is gated on the fused kernel.
+            if twopass and _TWOPASS_EAR and (
+                    jax.default_backend() == "tpu" and mesh is None):
                 cand2, res2, _ysq, okf = f32.df4_twopass(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                    R=rows_R)
+                    R=rows_R, fused=True)
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)

@@ -531,8 +531,37 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     return lo, up
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def rowmin_4(A1, A2, a3, a4, y, tile=256):
+def _rowmin4_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
+                    *, n2, n2b, n3, n4, nr):
+    """Pallas TPU kernel: one (i1-tile x column-block) cell of the
+    4-block f32 interval row pass. The per-point math is shared with the
+    XLA form (_rowmin4_body) via ref accessors; ``nr`` is the row-pack
+    index of the hoisted row-level lo (up at nr + 1), folded in at the
+    first column block. Output block (1, 8, T): row 0 lo, row 1 up."""
+    INF = float(np.inf)
+    cb = pl.program_id(2)
+    a = lax.dot_general(a1_ref[0], a2_ref[0], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # (T, N2B)
+    rowv = lambda i: row_ref[0, i][:, None]
+    colv = lambda i: col_ref[0, i][None, :]
+    voxv = lambda i: vox_ref[0, 0, i]
+    lo, up = _rowmin4_body(a, rowv, colv, voxv, n3, n4)
+    col = cb * n2b + lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    valid = col < n2
+    lo = jnp.where(valid, lo, INF)
+    up = jnp.where(valid, up, INF)
+    lo_t = jnp.min(lo, axis=1)
+    up_t = jnp.min(up, axis=1)
+    first = cb == 0
+    prev_lo = jnp.where(first, row_ref[0, nr], out_ref[0, 0])
+    prev_up = jnp.where(first, row_ref[0, nr + 1], out_ref[0, 1])
+    out_ref[0, 0] = jnp.minimum(prev_lo, lo_t)
+    out_ref[0, 1] = jnp.minimum(prev_up, up_t)
+
+
+@partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
+def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config).
 
     Per (i1, i2) point, the ns = N3*N4 (i3, i4) LDL finishes run off
@@ -545,6 +574,8 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256):
     """
     B, S, N1 = A1.shape
     N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
+    if pallas:
+        tile = 128
     A1h, _ = mfn._normalize_block(A1)
     A2h, _ = mfn._normalize_block(A2)
     A3h, _ = mfn._normalize_block(a3)
@@ -708,6 +739,57 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256):
            if N1p > N1 else A1h)
     rows = [padr(x) for x in rows]
 
+    if pallas:
+        # fused VMEM kernel: same per-point chains, the (T, N2B) support
+        # tiles never touch HBM (the XLA form materializes them — measured
+        # 3x slower than even the one-pass df4 scan)
+        nr = len(rows)
+        rows = rows + [padr(lo_r), padr(up_r)]
+        NR = int(math.ceil(len(rows) / 8) * 8)
+        row_pack = jnp.stack(rows, axis=1)                 # (B, nr+2, N1p)
+        row_pack = jnp.pad(row_pack,
+                           ((0, 0), (0, NR - len(rows)), (0, 0)))
+        NB = 1
+        N2_128 = int(math.ceil(N2 / 128) * 128)
+        while N2_128 // NB > 512 and NB < 8:
+            NB *= 2
+        N2B = int(math.ceil(N2_128 / NB / 128) * 128)
+        N2pb = NB * N2B
+        A2p = jnp.pad(A2h, ((0, 0), (0, 0), (0, N2pb - N2)))
+        NC = int(math.ceil(len(cols) / 8) * 8)
+        col_pack = jnp.stack(cols, axis=1)                 # (B, nc, N2)
+        col_pack = jnp.pad(
+            col_pack, ((0, 0), (0, NC - len(cols)), (0, N2pb - N2)))
+        NV = int(math.ceil(len(vox) / 8) * 8)
+        vox_pack = jnp.stack(vox, axis=1)[:, None, :]      # (B, 1, nv)
+        vox_pack = jnp.pad(vox_pack,
+                           ((0, 0), (0, 0), (0, NV - len(vox))))
+        grid = (B, n_tiles, NB)
+        out = pl.pallas_call(
+            partial(_rowmin4_kernel, n2=N2, n2b=N2B, n3=N3, n4=N4, nr=nr),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, S, tile), lambda b, t, c: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, N2B), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NR, tile), lambda b, t, c: (b, 0, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NC, N2B), lambda b, t, c: (b, 0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, NV), lambda b, t, c: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, tile), lambda b, t, c: (b, 0, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
+            interpret=interpret,
+        )(A1p, A2p, row_pack, col_pack, vox_pack)
+        row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
+        lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
+        up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
+        return lo, up, upf
+
     def body(t):
         st = t * tile
         A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
@@ -797,11 +879,15 @@ def df3_twopass(A1, A2, a3, y, M=1, R=128, fused=None):
     return cand, vals, y_sq, ok
 
 
-@partial(jax.jit, static_argnames=("M", "R"))
-def df4_twopass(A1, A2, a3, a4, y, M=1, R=128):
+@partial(jax.jit, static_argnames=("M", "R", "fused"))
+def df4_twopass(A1, A2, a3, a4, y, M=1, R=128, fused=None):
     """Two-pass exact top-M for [N1, N2, N3, N4] (EAR configuration).
-    Returns (cand (B, M, 4), res (B, M), y_sq (B,), ok (B,))."""
-    lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y)
+    Returns (cand (B, M, 4), res (B, M), y_sq (B,), ok (B,)).
+    ``fused`` runs the row pass as the Pallas kernel (default: on for the
+    TPU backend)."""
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+    lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y, pallas=bool(fused))
     rows, ok = _select_rows(lo, up, up_floor, R)
     A1_sel = _gather_cols(A1, rows)
     cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y, M=M)

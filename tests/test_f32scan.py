@@ -130,6 +130,24 @@ def test_twopass4_matches_onepass(rng):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_rowmin4_pallas_matches_xla(rng):
+    """The fused rowmin_4 kernel (interpret mode) bit-matches the XLA
+    body — same chains, same three-zone guards, same row-level folds."""
+    A1, A2, a3, y = _rand_problem(rng, B=3, S=40, N1=150, N2=130,
+                                  corr=0.9, positive=True)
+    a4 = np.float32(np.abs(rng.randn(3, 40, 5)) + 0.05)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    lo0, up0, upf0 = f32scan.rowmin_4(*args)
+    lo1, up1, upf1 = f32scan.rowmin_4(*args, pallas=True, interpret=True)
+    fin = np.isfinite(np.asarray(lo0))
+    assert np.array_equal(fin, np.isfinite(np.asarray(lo1)))
+    assert np.array_equal(np.asarray(lo0)[fin], np.asarray(lo1)[fin])
+    finu = np.isfinite(np.asarray(up0))
+    assert np.array_equal(finu, np.isfinite(np.asarray(up1)))
+    assert np.array_equal(np.asarray(up0)[finu], np.asarray(up1)[finu])
+    assert np.array_equal(np.asarray(upf0), np.asarray(upf1))
+
+
 def test_overflow_flag(rng):
     """With R smaller than the number of exact ties, ok must be False."""
     B, S, N2 = 2, 30, 20
