@@ -29,7 +29,13 @@ class SolverConfig:
     segments: int = 8              # per-row i2 segments in the Pallas scan
     rescore_pool: int = 128        # pool size for direct-residual re-ranking
     direct_noise: float = 4e-9     # direct-residual normalized resolution
-    twopass_rows: int = 256        # two-pass scan row budget (ops/f32scan)
+    # two-pass scan row budgets (ops/f32scan): the f32 interval row pass
+    # bounds hold the winner's row inside the top-R in-band rows; R covers
+    # the measured band tails (exact-Gram radii) with <1% overflow for the
+    # 2-fascicle+CSF grid and a few % for the EAR grid, whose
+    # ear-dominant voxels tie more rows
+    twopass_rows: int = 128
+    twopass_rows_ear: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

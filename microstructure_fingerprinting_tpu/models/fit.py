@@ -216,6 +216,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # for row selection to pay off. Only the winner is consumed
     # (device finalize), so the pool depth stays 1.
     rows_R = config.DEFAULTS["solver"].twopass_rows
+    rows_R_ear = config.DEFAULTS["solver"].twopass_rows_ear
     n_atom_rot = tables_ys.shape[2]
     twopass = (device_finalize and K == 2
                and n_atom_rot > 2 * rows_R)
@@ -314,7 +315,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     jax.default_backend() == "tpu" and mesh is None):
                 cand2, res2, _ysq, okf = f32.df4_twopass(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                    R=rows_R, fused=True)
+                    R=rows_R_ear, fused=True)
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)

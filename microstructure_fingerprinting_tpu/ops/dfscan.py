@@ -102,13 +102,15 @@ def df_gram(qa, qb, contract):
     return df32.df_from_sum(v_a, v_b, v_c, c1, c2)
 
 
-def df_gram_tile(qa_t, qb, n2):
+def df_gram_tile(qa_t, qb, n2, precision=lax.Precision.HIGH):
     """Specialized double-float Gram for one (B, S, T) x (B, S, N2p) tile.
 
     The four int8 x int8 products are fused into ONE MXU call on
     concatenated operands (better systolic-array utilization than four
     skinny matmuls), and the small A'R cross terms (values ~1e-4 needing
-    only ~1e-6 relative accuracy) run at Precision.HIGH instead of HIGHEST.
+    only ~1e-6 relative accuracy) run at Precision.HIGH by default
+    (``precision=HIGHEST`` bit-matches the in-kernel exact Gram of
+    ops/f32scan._gram_hi, where Mosaic rejects HIGH).
     qa_t: quantized tile (Q1 (B,S,T), Q2, R, a); qb: quantized full block.
     Returns (hi, lo) of shape (B, T, N2p).
     """
@@ -126,7 +128,7 @@ def df_gram_tile(qa_t, qb, n2):
     v_b = t12.astype(jnp.float32) * jnp.float32(2.0 ** -22)
     v_c = t22.astype(jnp.float32) * jnp.float32(2.0 ** -30)
     hp_high = dict(preferred_element_type=jnp.float32,
-                   precision=lax.Precision.HIGH)
+                   precision=precision)
     c1 = jnp.einsum("bst,bsn->btn", aa + Ra, Rb, **hp_high)
     c2 = jnp.einsum("bst,bsn->btn", Ra, ab, **hp_high)
     return df32.df_from_sum(v_a, v_b, v_c, c1, c2)

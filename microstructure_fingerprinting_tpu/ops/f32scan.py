@@ -53,6 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import df32
 from . import dfscan
 from . import nnls as mfn
 
@@ -61,12 +62,15 @@ _HP = dict(preferred_element_type=jnp.float32,
 _TOL = float(100 * 1.1920929e-07)
 _EPS = float(1.1920929e-07)
 #: per-candidate f32 error radius = KERR * (1 + sum |w_i|).
-#: The progressive chains are ~15 sequential f32 ops on O(1)-magnitude
-#: operands; 32 eps leaves a ~3x margin over the measured worst error
-#: (~2.5e-6 at weight-sum 1 on fingerprint-like data; validated in tests).
+#: With EXACT Grams (int8 quantize2 + error-free combination, rounded
+#: once to f32) the progressive chains' measured worst error is ~1.2 eps
+#: on production fingerprint data (f64-prep decomposition: the f32 Gram
+#: einsums contributed ~19 of the previous 20 eps) — 8 eps keeps a ~6x
+#: margin. KERR4 covers the longer 4-block LDL chains.
 #: Python floats (weak-typed): f32 compute is preserved and the
 #: ``det_tol > 0`` routing stays a static Python bool under jit.
-KERR = float(32 * 1.1920929e-07)
+KERR = float(8 * 1.1920929e-07)
+KERR4 = float(12 * 1.1920929e-07)
 _INF = float(np.inf)
 
 
@@ -146,8 +150,34 @@ def _fold(lo, up, lo2, up2):
     return jnp.minimum(lo, lo2), jnp.minimum(up, up2)
 
 
-def _rowmin3_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
-                    *, n2, n2b):
+def _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref, tile,
+             n2b):
+    """In-kernel EXACT Gram tile (rounded-to-f32 hi part): one int8 MXU
+    dot on the packed [Q1|Q2] levels + two f32 HIGHEST cross matmuls on
+    the quantization residuals, combined with an error-free two_sum
+    cascade (same arithmetic as ops/dfscan.df_gram_tile; HIGHEST for the
+    cross terms because Mosaic rejects Precision.HIGH)."""
+    P = lax.dot_general(q1ab_ref[0], qb_ref[0], (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    t11 = P[:tile, :n2b]
+    t12 = P[:tile, n2b:] + P[tile:, :n2b]
+    t22 = P[tile:, n2b:]
+    v_a = t11.astype(jnp.float32) * jnp.float32(2.0 ** -14)
+    v_b = t12.astype(jnp.float32) * jnp.float32(2.0 ** -22)
+    v_c = t22.astype(jnp.float32) * jnp.float32(2.0 ** -30)
+    hp = dict(preferred_element_type=jnp.float32,
+              precision=lax.Precision.HIGHEST)
+    c1 = lax.dot_general(a1h_ref[0], rb_ref[0], (((0,), (0,)), ((), ())),
+                         **hp)
+    c2 = lax.dot_general(ra_ref[0], ab_ref[0], (((0,), (0,)), ((), ())),
+                         **hp)
+    g_hi, _g_lo = df32.df_from_sum(v_a, v_b, v_c, c1, c2)
+    return g_hi
+
+
+def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+                    row_ref, col_ref, vox_ref, out_ref,
+                    *, n2, n2b, tile):
     """Pallas TPU kernel: one (i1-tile x column-block) cell of the f32
     interval row scan. Same formulas as rowmin_3's XLA body; constants
     are python floats (array constants cannot be captured by kernels).
@@ -155,12 +185,11 @@ def _rowmin3_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
     block) grid axis: row 0 accumulates lo, row 1 accumulates up."""
     EPS = 1.1920929e-07
     TOL = float(100 * 1.1920929e-07)
-    KER = float(32 * 1.1920929e-07)
+    KER = KERR
     INF = float(np.inf)
     cb = pl.program_id(2)
-    a = lax.dot_general(a1_ref[0], a2_ref[0], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)    # (T, N2B)
+    a = _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+                 tile, n2b)                                 # (T, N2B)
     rp = lambda i: row_ref[0, i][:, None]
     (d1t, invd1t, kap_pt, rho1t, kap_bt, d1pt, invd1pt, kap_ppt,
      rho13t, lo_rt, up_rt, stab1t) = (rp(i) for i in range(12))
@@ -241,15 +270,24 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
     A3h = A3h.astype(jnp.float32)
     yh = yh.astype(jnp.float32)
 
-    d1 = jnp.einsum("bsn,bsn->bn", A1h, A1h, **_HP)       # ~1
-    d2 = jnp.einsum("bsn,bsn->bn", A2h, A2h, **_HP)
-    d3 = jnp.einsum("bsn,bsn->bn", A3h, A3h, **_HP)[:, 0]  # (B,)
-    p_ = jnp.einsum("bsn,bs->bn", A1h, yh, **_HP)
-    q_ = jnp.einsum("bsn,bs->bn", A2h, yh, **_HP)
-    r_ = jnp.einsum("bsn,bs->bn", A3h, yh, **_HP)[:, 0]
-    b_ = jnp.einsum("bsn,bsm->bn", A1h, A3h, **_HP)
-    c_ = jnp.einsum("bsn,bsm->bn", A2h, A3h, **_HP)
-    w_ = jnp.einsum("bs,bs->b", yh, yh, **_HP)
+    # EXACT Grams (int8 two-level quantization, error-free combination;
+    # ops/dfscan.quantize2/df_gram), rounded once to f32. The f32 einsum
+    # Grams were the dominant error source of the whole pass — measured
+    # 20 eps worst vs 1.2 eps with exact Grams (the f32 prefix chains and
+    # the per-point chain contribute ~1 eps combined) — and set the
+    # err radius, hence the band width and the overflow rate.
+    qA1, qA2, qA3, qy = (dfscan.quantize2(x)
+                         for x in (A1h, A2h, A3h, yh))
+    g = lambda qa, qb, c: dfscan.df_gram(qa, qb, c)[0]
+    d1 = g(qA1, qA1, "bsn,bsn->bn")                       # ~1
+    d2 = g(qA2, qA2, "bsn,bsn->bn")
+    d3 = g(qA3, qA3, "bsn,bsn->bn")[:, 0]                 # (B,)
+    p_ = g(qA1, qy, "bsn,bs->bn")
+    q_ = g(qA2, qy, "bsn,bs->bn")
+    r_ = g(qA3, qy, "bsn,bs->bn")[:, 0]
+    b_ = g(qA1, qA3, "bsn,bsm->bn")
+    c_ = g(qA2, qA3, "bsn,bsm->bn")
+    w_ = g(qy, qy, "bs,bs->b")
 
     e1 = lambda x: x[:, None]                              # (B, 1)
     d3e, re, we = e1(d3), e1(r_), e1(w_)
@@ -286,8 +324,11 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
 
     n_tiles = int(math.ceil(N1 / tile))
     N1p = n_tiles * tile
+    padc = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
     if N1p > N1:
-        A1h = jnp.pad(A1h, ((0, 0), (0, 0), (0, N1p - N1)))
+        A1h = padc(A1h)
+    qA1p = tuple(padc(x) for x in qA1)
     padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
                       if N1p > N1 else x)
     rowv = [padr(x) for x in (d1, invd1, kap_p, rho1, kap_b, d1p,
@@ -303,7 +344,6 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
             NB *= 2
         N2B = int(math.ceil(N2_128 / NB / 128) * 128)
         N2pb = NB * N2B
-        A2p = jnp.pad(A2h, ((0, 0), (0, 0), (0, N2pb - N2)))
         stab1f = stab1p.astype(jnp.float32)
         row_pack = jnp.stack(rowv + [stab1f], axis=1)  # (B, 12, N1p)
         row_pack = jnp.pad(row_pack, ((0, 0), (0, 4), (0, 0)))
@@ -313,15 +353,36 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
         vox = jnp.stack([u3[:, 0], invd3[:, 0]]
                         + [jnp.zeros_like(u3[:, 0])] * 6,
                         axis=1)[:, None, :]                # (B, 1, 8)
+        # int8 [Q1 | Q2] levels packed per row tile / per column block so
+        # one VMEM block carries both levels contiguously (the in-kernel
+        # exact Gram, _gram_hi)
+        q1_t = qA1p[0].reshape(B, S, n_tiles, tile)
+        q2_t = qA1p[1].reshape(B, S, n_tiles, tile)
+        q1ab_t = jnp.concatenate([q1_t, q2_t], axis=3).reshape(B, S, -1)
+        padb = lambda x: jnp.pad(x, ((0, 0), (0, 0),
+                                     (0, N2pb - x.shape[2])))
+        q1b_p = padb(qA2[0])
+        q2b_p = padb(qA2[1])
+        qb2 = jnp.concatenate([q1b_p.reshape(B, S, NB, N2B),
+                               q2b_p.reshape(B, S, NB, N2B)],
+                              axis=3).reshape(B, S, -1)    # (B, S, NB*2N2B)
+        Rb = padb(qA2[2])
+        ab = padb(qA2[3])
         grid = (B, N1p // tile, NB)
+        tiled = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, t),
+                                       memory_space=pltpu.VMEM)
+        colblk = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, c),
+                                        memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            partial(_rowmin3_kernel, n2=N2, n2b=N2B),
+            partial(_rowmin3_kernel, n2=N2, n2b=N2B, tile=tile),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, S, tile), lambda b, t, c: (b, 0, t),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, N2B), lambda b, t, c: (b, 0, c),
-                             memory_space=pltpu.VMEM),
+                tiled(2 * tile),                           # int8 [Q1|Q2]
+                tiled(tile),                               # A1h (f32)
+                tiled(tile),                               # Ra (f32)
+                colblk(2 * N2B),                           # int8 [Q1b|Q2b]
+                colblk(N2B),                               # Rb
+                colblk(N2B),                               # ab
                 pl.BlockSpec((1, 16, tile), lambda b, t, c: (b, 0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, N2B), lambda b, t, c: (b, 0, c),
@@ -333,7 +394,7 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
             interpret=interpret,
-        )(A1h, A2p, row_pack, col_pack, vox)
+        )(q1ab_t, A1h, qA1p[2], qb2, Rb, ab, row_pack, col_pack, vox)
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
@@ -346,9 +407,10 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
 
     def body(t):
         st = t * tile
-        a = jnp.einsum(
-            "bst,bsn->btn",
-            lax.dynamic_slice(A1h, (0, 0, st), (B, S, tile)), A2h, **_HP)
+        qa1_t = tuple(lax.dynamic_slice(x, (0, 0, st), (B, S, tile))
+                      for x in qA1p)
+        a = dfscan.df_gram_tile(qa1_t, qA2, A2.shape[2],
+                                precision=lax.Precision.HIGHEST)[0]
         sl = lambda x: lax.dynamic_slice(x, (0, st),
                                          (B, tile))[:, :, None]
         (d1t, invd1t, kap_pt, rho1t, kap_bt, d1pt, invd1pt, kap_ppt,
@@ -441,8 +503,8 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     Returns (lo, up) tiles.
     """
     TOL = float(100 * 1.1920929e-07)
-    KER = float(32 * 1.1920929e-07)
-    KER4 = float(64 * 1.1920929e-07)
+    KER = KERR
+    KER4 = KERR4
     INF = float(np.inf)
     nx = n3 + n4
     ns = n3 * n4
@@ -531,8 +593,9 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     return lo, up
 
 
-def _rowmin4_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
-                    *, n2, n2b, n3, n4, nr):
+def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+                    row_ref, col_ref, vox_ref, out_ref,
+                    *, n2, n2b, n3, n4, nr, tile):
     """Pallas TPU kernel: one (i1-tile x column-block) cell of the
     4-block f32 interval row pass. The per-point math is shared with the
     XLA form (_rowmin4_body) via ref accessors; ``nr`` is the row-pack
@@ -540,9 +603,8 @@ def _rowmin4_kernel(a1_ref, a2_ref, row_ref, col_ref, vox_ref, out_ref,
     first column block. Output block (1, 8, T): row 0 lo, row 1 up."""
     INF = float(np.inf)
     cb = pl.program_id(2)
-    a = lax.dot_general(a1_ref[0], a2_ref[0], (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)    # (T, N2B)
+    a = _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+                 tile, n2b)                                 # (T, N2B)
     rowv = lambda i: row_ref[0, i][:, None]
     colv = lambda i: col_ref[0, i][None, :]
     voxv = lambda i: vox_ref[0, 0, i]
@@ -584,20 +646,25 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     f32 = lambda x: x.astype(jnp.float32)
     A1h, A2h, A3h, A4h, yh = map(f32, (A1h, A2h, A3h, A4h, yh))
 
-    d1 = jnp.einsum("bsn,bsn->bn", A1h, A1h, **_HP)
-    d2 = jnp.einsum("bsn,bsn->bn", A2h, A2h, **_HP)
-    d3 = jnp.einsum("bsn,bsn->bn", A3h, A3h, **_HP)       # (B, N3)
-    d4 = jnp.einsum("bsn,bsn->bn", A4h, A4h, **_HP)       # (B, N4)
-    p_ = jnp.einsum("bsn,bs->bn", A1h, yh, **_HP)
-    q_ = jnp.einsum("bsn,bs->bn", A2h, yh, **_HP)
-    r3 = jnp.einsum("bsn,bs->bn", A3h, yh, **_HP)
-    r4 = jnp.einsum("bsn,bs->bn", A4h, yh, **_HP)
-    b3 = jnp.einsum("bsn,bsm->bnm", A1h, A3h, **_HP)      # (B, N1, N3)
-    b4 = jnp.einsum("bsn,bsm->bnm", A1h, A4h, **_HP)
-    c3 = jnp.einsum("bsn,bsm->bnm", A2h, A3h, **_HP)
-    c4 = jnp.einsum("bsn,bsm->bnm", A2h, A4h, **_HP)
-    g34 = jnp.einsum("bsn,bsm->bnm", A3h, A4h, **_HP)     # (B, N3, N4)
-    w_ = jnp.einsum("bs,bs->b", yh, yh, **_HP)
+    # EXACT Grams rounded once to f32 (see rowmin_3's prep note: the f32
+    # einsum Grams dominated the whole pass's error budget)
+    qA1, qA2, qA3, qA4, qy = (dfscan.quantize2(x)
+                              for x in (A1h, A2h, A3h, A4h, yh))
+    g = lambda qa, qb, c: dfscan.df_gram(qa, qb, c)[0]
+    d1 = g(qA1, qA1, "bsn,bsn->bn")
+    d2 = g(qA2, qA2, "bsn,bsn->bn")
+    d3 = g(qA3, qA3, "bsn,bsn->bn")                       # (B, N3)
+    d4 = g(qA4, qA4, "bsn,bsn->bn")                       # (B, N4)
+    p_ = g(qA1, qy, "bsn,bs->bn")
+    q_ = g(qA2, qy, "bsn,bs->bn")
+    r3 = g(qA3, qy, "bsn,bs->bn")
+    r4 = g(qA4, qy, "bsn,bs->bn")
+    b3 = g(qA1, qA3, "bsn,bsm->bnm")                      # (B, N1, N3)
+    b4 = g(qA1, qA4, "bsn,bsm->bnm")
+    c3 = g(qA2, qA3, "bsn,bsm->bnm")
+    c4 = g(qA2, qA4, "bsn,bsm->bnm")
+    g34 = g(qA3, qA4, "bsn,bsm->bnm")                     # (B, N3, N4)
+    w_ = g(qy, qy, "bs,bs->b")
 
     d3e = d3.reshape(B, 1, N3, 1)
     d4e = d4.reshape(B, 1, 1, N4)
@@ -735,8 +802,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     N1p = n_tiles * tile
     padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
                       if N1p > N1 else x)
-    A1p = (jnp.pad(A1h, ((0, 0), (0, 0), (0, N1p - N1)))
-           if N1p > N1 else A1h)
+    padcol = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
+                        if N1p > N1 else x)
+    A1p = padcol(A1h)
+    qA1p = tuple(padcol(x) for x in qA1)
     rows = [padr(x) for x in rows]
 
     if pallas:
@@ -749,13 +818,14 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         row_pack = jnp.stack(rows, axis=1)                 # (B, nr+2, N1p)
         row_pack = jnp.pad(row_pack,
                            ((0, 0), (0, NR - len(rows)), (0, 0)))
+        # 256-column blocks: the support-enumeration body + int8 Gram
+        # operands exceed the 16 MB VMEM budget at 512 (measured 19.4 MB)
         NB = 1
         N2_128 = int(math.ceil(N2 / 128) * 128)
-        while N2_128 // NB > 512 and NB < 8:
+        while N2_128 // NB > 256 and NB < 16:
             NB *= 2
         N2B = int(math.ceil(N2_128 / NB / 128) * 128)
         N2pb = NB * N2B
-        A2p = jnp.pad(A2h, ((0, 0), (0, 0), (0, N2pb - N2)))
         NC = int(math.ceil(len(cols) / 8) * 8)
         col_pack = jnp.stack(cols, axis=1)                 # (B, nc, N2)
         col_pack = jnp.pad(
@@ -764,15 +834,33 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         vox_pack = jnp.stack(vox, axis=1)[:, None, :]      # (B, 1, nv)
         vox_pack = jnp.pad(vox_pack,
                            ((0, 0), (0, 0), (0, NV - len(vox))))
+        q1_t = qA1p[0].reshape(B, S, n_tiles, tile)
+        q2_t = qA1p[1].reshape(B, S, n_tiles, tile)
+        q1ab_t = jnp.concatenate([q1_t, q2_t], axis=3).reshape(B, S, -1)
+        padb = lambda x: jnp.pad(x, ((0, 0), (0, 0),
+                                     (0, N2pb - x.shape[2])))
+        qb2 = jnp.concatenate(
+            [padb(qA2[0]).reshape(B, S, NB, N2B),
+             padb(qA2[1]).reshape(B, S, NB, N2B)],
+            axis=3).reshape(B, S, -1)                      # (B, S, NB*2N2B)
+        Rb = padb(qA2[2])
+        ab = padb(qA2[3])
         grid = (B, n_tiles, NB)
+        tiled = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, t),
+                                       memory_space=pltpu.VMEM)
+        colblk = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, c),
+                                        memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            partial(_rowmin4_kernel, n2=N2, n2b=N2B, n3=N3, n4=N4, nr=nr),
+            partial(_rowmin4_kernel, n2=N2, n2b=N2B, n3=N3, n4=N4, nr=nr,
+                    tile=tile),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, S, tile), lambda b, t, c: (b, 0, t),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, S, N2B), lambda b, t, c: (b, 0, c),
-                             memory_space=pltpu.VMEM),
+                tiled(2 * tile),                           # int8 [Q1|Q2]
+                tiled(tile),                               # A1h (f32)
+                tiled(tile),                               # Ra (f32)
+                colblk(2 * N2B),                           # int8 [Q1b|Q2b]
+                colblk(N2B),                               # Rb
+                colblk(N2B),                               # ab
                 pl.BlockSpec((1, NR, tile), lambda b, t, c: (b, 0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, NC, N2B), lambda b, t, c: (b, 0, c),
@@ -784,7 +872,7 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
             interpret=interpret,
-        )(A1p, A2p, row_pack, col_pack, vox_pack)
+        )(q1ab_t, A1p, qA1p[2], qb2, Rb, ab, row_pack, col_pack, vox_pack)
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
@@ -792,8 +880,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
 
     def body(t):
         st = t * tile
-        A1t = lax.dynamic_slice(A1p, (0, 0, st), (B, S, tile))
-        a = jnp.einsum("bst,bsn->btn", A1t, A2h, **_HP)
+        qa1_t = tuple(lax.dynamic_slice(x, (0, 0, st), (B, S, tile))
+                      for x in qA1p)
+        a = dfscan.df_gram_tile(qa1_t, qA2, N2,
+                        precision=lax.Precision.HIGHEST)[0]
         rowv = lambda i: lax.dynamic_slice(rows[i], (0, st),
                                            (B, tile))[:, :, None]
         colv = lambda i: cols[i][:, None, :]
