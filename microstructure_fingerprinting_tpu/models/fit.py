@@ -320,7 +320,18 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
         elif csf_on:
-            if twopass:
+            n_at_ax = (dict(mesh.shape).get("atoms", 1)
+                       if mesh is not None else 1)
+            if n_at_ax > 1 and D.shape[3] % n_at_ax == 0:
+                # atoms-axis tensor parallelism: the second fascicle block
+                # is resharded over 'atoms' and each device scans its
+                # N1 x (N2 / n_atoms) sub-grid; the global first-minimum
+                # is reconstructed with an offset-corrected re-rank
+                # (parallel/mesh.sharded_df3_candidates)
+                A2_s = pmesh.shard_atoms(mesh, D[:, 1])
+                cand2, res2, _ysq = pmesh.sharded_df3_candidates(
+                    mesh, D[:, 0], A2_s, csf_blk, yy_c, M=pool)
+            elif twopass:
                 # two-pass exact scan: cheap f32 row minima select the
                 # top-R candidate rows, the double-float scan re-ranks
                 # only those; `okf` flags (rare) voxels whose in-band row

@@ -41,6 +41,7 @@ _HP = dict(preferred_element_type=jnp.float32,
            precision=lax.Precision.HIGHEST)
 _S1 = jnp.float32(2.0 ** -7)
 _S2 = jnp.float32(2.0 ** -15)
+_S3 = jnp.float32(2.0 ** -23)
 _TOL = jnp.float32(100 * 1.1920929e-07)  # 100 eps_f32 (cf. mf_utils:480)
 
 
@@ -76,6 +77,27 @@ def quantize2(X):
     a = A1 + Q2.astype(jnp.float32) * _S2
     R = X - a
     return Q1, Q2, R, a
+
+
+def quantize3(X):
+    """Three-level int8 decomposition X = s1*Q1 + s2*Q2 + s3*Q3 + R
+    (exact; |R| <= ~2^-24).
+
+    Extends quantize2 (the first two levels are shared, so XLA CSEs the
+    work when both run on one array). The three partial sums are exact in
+    f32 — each level k sum is an integer multiple of s_k with magnitude
+    <= ~1, i.e. <= 2^23 multiples at s3 = 2^-23 — which level 4 would
+    break (2^31 multiples), so three levels is the exactness limit.
+    Consumers: the in-kernel exact Gram (ops/f32scan._gram_hi), where the
+    third level replaces the two f32 HIGHEST residual cross matmuls with
+    int8 MXU work + a DEFAULT-precision correction on the ~2^-24
+    residuals.
+    """
+    Q1, Q2, R2, a2 = quantize2(X)
+    Q3 = jnp.clip(jnp.round(R2 / _S3), -127, 127).astype(jnp.int8)
+    a = a2 + Q3.astype(jnp.float32) * _S3
+    R = X.astype(jnp.float32) - a
+    return Q1, Q2, Q3, R, a
 
 
 def df_gram(qa, qb, contract):

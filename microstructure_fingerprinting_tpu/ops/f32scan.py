@@ -150,45 +150,61 @@ def _fold(lo, up, lo2, up2):
     return jnp.minimum(lo, lo2), jnp.minimum(up, up2)
 
 
-def _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref, tile,
-             n2b):
+def _gram_hi(q123, a1bf, rabf, qb, rbbf, abbf, tile, n2b):
     """In-kernel EXACT Gram tile (rounded-to-f32 hi part): one int8 MXU
-    dot on the packed [Q1|Q2] levels + two f32 HIGHEST cross matmuls on
-    the quantization residuals, combined with an error-free two_sum
-    cascade (same arithmetic as ops/dfscan.df_gram_tile; HIGHEST for the
-    cross terms because Mosaic rejects Precision.HIGH)."""
-    P = lax.dot_general(q1ab_ref[0], qb_ref[0], (((0,), (0,)), ((), ())),
+    dot on the packed THREE-level [Q1|Q2|Q3] decomposition
+    (dfscan.quantize3) + two bf16 matmuls correcting the ~2^-24 residuals
+    (A'R_b + R_a'a_b; need only ~1% relative accuracy, so bf16 operands
+    are sound AND halve the correction operands' HBM traffic). Versus the
+    two-level + HIGHEST-cross form this trades 12 bf16 matmul passes for
+    5 extra int8 MXU units — ~2x less MXU time at unchanged ~ulp Gram
+    accuracy."""
+    P = lax.dot_general(q123, qb, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32)
-    t11 = P[:tile, :n2b]
-    t12 = P[:tile, n2b:] + P[tile:, :n2b]
-    t22 = P[tile:, n2b:]
+    T, W = tile, n2b
+    t11 = P[:T, :W]
+    t12 = P[:T, W:2 * W] + P[T:2 * T, :W]
+    t22 = P[T:2 * T, W:2 * W] + P[:T, 2 * W:] + P[2 * T:, :W]
+    t23 = P[T:2 * T, 2 * W:] + P[2 * T:, W:2 * W]
+    t33 = P[2 * T:, 2 * W:]
     v_a = t11.astype(jnp.float32) * jnp.float32(2.0 ** -14)
     v_b = t12.astype(jnp.float32) * jnp.float32(2.0 ** -22)
     v_c = t22.astype(jnp.float32) * jnp.float32(2.0 ** -30)
+    v_d = t23.astype(jnp.float32) * jnp.float32(2.0 ** -38)
+    v_e = t33.astype(jnp.float32) * jnp.float32(2.0 ** -46)
     hp = dict(preferred_element_type=jnp.float32,
-              precision=lax.Precision.HIGHEST)
-    c1 = lax.dot_general(a1h_ref[0], rb_ref[0], (((0,), (0,)), ((), ())),
-                         **hp)
-    c2 = lax.dot_general(ra_ref[0], ab_ref[0], (((0,), (0,)), ((), ())),
-                         **hp)
-    g_hi, _g_lo = df32.df_from_sum(v_a, v_b, v_c, c1, c2)
-    return g_hi
+              precision=lax.Precision.DEFAULT)
+    c1 = lax.dot_general(a1bf, rbbf, (((0,), (0,)), ((), ())), **hp)
+    c2 = lax.dot_general(rabf, abbf, (((0,), (0,)), ((), ())), **hp)
+    # ascending plain sum instead of a two_sum cascade: the row pass only
+    # needs the ROUNDED Gram (the err radius covers ~2 eps of summation
+    # error; an exact (hi, lo) pair would cost ~6x the VPU flops here,
+    # and this combine chain is a large share of the kernel's VPU time)
+    return v_a + (v_b + (v_c + (c1 + (c2 + (v_d + v_e)))))
 
 
 def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
                     row_ref, col_ref, vox_ref, out_ref,
                     *, n2, n2b, tile):
-    """Pallas TPU kernel: one (i1-tile x column-block) cell of the f32
+    """Pallas TPU kernel: one (column-block x i1-tile) cell of the f32
     interval row scan. Same formulas as rowmin_3's XLA body; constants
     are python floats (array constants cannot be captured by kernels).
-    Output block (1, 8, T) is revisited across the innermost (column
-    block) grid axis: row 0 accumulates lo, row 1 accumulates up."""
+
+    Grid (B, NB, n_tiles), ROW TILES INNERMOST: the big column-side
+    operands' block index is constant across the inner axis, so they are
+    fetched once per column block instead of once per (tile, block) cell
+    — the dominant HBM traffic drops from NB*n_tiles to NB fetches per
+    voxel. The output block (1, n_tiles, 8, T) is the whole per-voxel
+    accumulator (revisited across the full (c, t) sweep): out[t, 0]
+    accumulates lo, out[t, 1] up."""
     EPS = 1.1920929e-07
     TOL = float(100 * 1.1920929e-07)
     KER = KERR
     INF = float(np.inf)
-    cb = pl.program_id(2)
-    a = _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+    cb = pl.program_id(1)
+    t_id = pl.program_id(2)
+    a = _gram_hi(q1ab_ref[0, 0], a1h_ref[0, 0], ra_ref[0, 0],
+                 qb_ref[0, 0], rb_ref[0, 0], ab_ref[0, 0],
                  tile, n2b)                                 # (T, N2B)
     rp = lambda i: row_ref[0, i][:, None]
     (d1t, invd1t, kap_pt, rho1t, kap_bt, d1pt, invd1pt, kap_ppt,
@@ -239,10 +255,33 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     lo_t = jnp.min(lo, axis=1)
     up_t = jnp.min(up, axis=1)
     first = cb == 0
-    prev_lo = jnp.where(first, lo_rt[:, 0], out_ref[0, 0])
-    prev_up = jnp.where(first, up_rt[:, 0], out_ref[0, 1])
-    out_ref[0, 0] = jnp.minimum(prev_lo, lo_t)
-    out_ref[0, 1] = jnp.minimum(prev_up, up_t)
+    prev_lo = jnp.where(first, lo_rt[:, 0], out_ref[0, t_id, 0])
+    prev_up = jnp.where(first, up_rt[:, 0], out_ref[0, t_id, 1])
+    out_ref[0, t_id, 0] = jnp.minimum(prev_lo, lo_t)
+    out_ref[0, t_id, 1] = jnp.minimum(prev_up, up_t)
+
+
+def _pack_row_operands(qA, A1bf, n_tiles, tile):
+    """Row-side Pallas operands, pre-transposed to (B, n_tiles, S, d) so
+    each (1, 1, S, d) VMEM block is one CONTIGUOUS HBM read: the packed
+    int8 [Q1|Q2|Q3] levels, the bf16 column tile, and the bf16
+    quantization-residual tile (``_gram_hi``'s correction operands)."""
+    B, S, N1p = A1bf.shape
+    t4 = lambda x: x.reshape(B, S, n_tiles, tile).transpose(0, 2, 1, 3)
+    q123 = jnp.concatenate([t4(q) for q in qA[:3]], axis=3)
+    return q123, t4(A1bf), t4(qA[3].astype(jnp.bfloat16))
+
+
+def _pack_col_operands(qB, NB, N2B):
+    """Column-side Pallas operands as (B, NB, S, d) contiguous blocks:
+    int8 [Q1|Q2|Q3] levels, bf16 residual, bf16 exact-part."""
+    B, S = qB[0].shape[:2]
+    N2pb = NB * N2B
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, N2pb - x.shape[2])))
+    c4 = lambda x: pad(x).reshape(B, S, NB, N2B).transpose(0, 2, 1, 3)
+    qb3 = jnp.concatenate([c4(q) for q in qB[:3]], axis=3)
+    return (qb3, c4(qB[3].astype(jnp.bfloat16)),
+            c4(qB[4].astype(jnp.bfloat16)))
 
 
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
@@ -353,48 +392,52 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
         vox = jnp.stack([u3[:, 0], invd3[:, 0]]
                         + [jnp.zeros_like(u3[:, 0])] * 6,
                         axis=1)[:, None, :]                # (B, 1, 8)
-        # int8 [Q1 | Q2] levels packed per row tile / per column block so
-        # one VMEM block carries both levels contiguously (the in-kernel
-        # exact Gram, _gram_hi)
-        q1_t = qA1p[0].reshape(B, S, n_tiles, tile)
-        q2_t = qA1p[1].reshape(B, S, n_tiles, tile)
-        q1ab_t = jnp.concatenate([q1_t, q2_t], axis=3).reshape(B, S, -1)
-        padb = lambda x: jnp.pad(x, ((0, 0), (0, 0),
-                                     (0, N2pb - x.shape[2])))
-        q1b_p = padb(qA2[0])
-        q2b_p = padb(qA2[1])
-        qb2 = jnp.concatenate([q1b_p.reshape(B, S, NB, N2B),
-                               q2b_p.reshape(B, S, NB, N2B)],
-                              axis=3).reshape(B, S, -1)    # (B, S, NB*2N2B)
-        Rb = padb(qA2[2])
-        ab = padb(qA2[3])
-        grid = (B, N1p // tile, NB)
-        tiled = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, t),
-                                       memory_space=pltpu.VMEM)
-        colblk = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, c),
-                                        memory_space=pltpu.VMEM)
+        # int8 [Q1 | Q2 | Q3] levels + bf16 correction operands, packed
+        # per row tile / per column block as CONTIGUOUS (B, blocks, S, d)
+        # arrays so each VMEM block is one linear HBM read
+        # (_pack_row_operands / _pack_col_operands; consumed by the
+        # in-kernel exact Gram, _gram_hi)
+        q3a = dfscan.quantize3(A1h)
+        q3b = dfscan.quantize3(A2h)
+        q123_t, a1bf_t, rabf_t = _pack_row_operands(
+            q3a, A1h.astype(jnp.bfloat16), n_tiles, tile)
+        qb3, rbbf, abbf = _pack_col_operands(q3b, NB, N2B)
+        # ROW TILES INNERMOST: the column-side blocks' index is constant
+        # across the inner axis, so the dominant HBM traffic (the big
+        # column operands) is fetched NB times per voxel, not NB*n_tiles
+        grid = (B, NB, n_tiles)
+        tiled = lambda d: pl.BlockSpec(
+            (1, 1, S, d), lambda b, c, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM)
+        colblk = lambda d: pl.BlockSpec(
+            (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
+            memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             partial(_rowmin3_kernel, n2=N2, n2b=N2B, tile=tile),
             grid=grid,
             in_specs=[
-                tiled(2 * tile),                           # int8 [Q1|Q2]
-                tiled(tile),                               # A1h (f32)
-                tiled(tile),                               # Ra (f32)
-                colblk(2 * N2B),                           # int8 [Q1b|Q2b]
-                colblk(N2B),                               # Rb
-                colblk(N2B),                               # ab
-                pl.BlockSpec((1, 16, tile), lambda b, t, c: (b, 0, t),
+                tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
+                tiled(tile),                               # A1 (bf16)
+                tiled(tile),                               # Ra (bf16)
+                colblk(3 * N2B),                           # int8 Qb levels
+                colblk(N2B),                               # Rb (bf16)
+                colblk(N2B),                               # ab (bf16)
+                pl.BlockSpec((1, 16, tile), lambda b, c, t: (b, 0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, N2B), lambda b, t, c: (b, 0, c),
+                pl.BlockSpec((1, 8, N2B), lambda b, c, t: (b, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8), lambda b, t, c: (b, 0, 0),
+                pl.BlockSpec((1, 1, 8), lambda b, c, t: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, tile), lambda b, t, c: (b, 0, t),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
+            out_specs=pl.BlockSpec(
+                (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_tiles, 8, tile),
+                                           jnp.float32),
             interpret=interpret,
-        )(q1ab_t, A1h, qA1p[2], qb2, Rb, ab, row_pack, col_pack, vox)
+        )(q123_t, a1bf_t, rabf_t, qb3, rbbf, abbf, row_pack, col_pack,
+          vox)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 8, N1p)
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
@@ -596,14 +639,18 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
 def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
                     row_ref, col_ref, vox_ref, out_ref,
                     *, n2, n2b, n3, n4, nr, tile):
-    """Pallas TPU kernel: one (i1-tile x column-block) cell of the
+    """Pallas TPU kernel: one (column-block x i1-tile) cell of the
     4-block f32 interval row pass. The per-point math is shared with the
     XLA form (_rowmin4_body) via ref accessors; ``nr`` is the row-pack
     index of the hoisted row-level lo (up at nr + 1), folded in at the
-    first column block. Output block (1, 8, T): row 0 lo, row 1 up."""
+    first column block. Grid (B, NB, n_tiles), row tiles innermost (see
+    _rowmin3_kernel); output block (1, n_tiles, 8, T) accumulates the
+    whole voxel: out[t, 0] lo, out[t, 1] up."""
     INF = float(np.inf)
-    cb = pl.program_id(2)
-    a = _gram_hi(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
+    cb = pl.program_id(1)
+    t_id = pl.program_id(2)
+    a = _gram_hi(q1ab_ref[0, 0], a1h_ref[0, 0], ra_ref[0, 0],
+                 qb_ref[0, 0], rb_ref[0, 0], ab_ref[0, 0],
                  tile, n2b)                                 # (T, N2B)
     rowv = lambda i: row_ref[0, i][:, None]
     colv = lambda i: col_ref[0, i][None, :]
@@ -616,10 +663,10 @@ def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     lo_t = jnp.min(lo, axis=1)
     up_t = jnp.min(up, axis=1)
     first = cb == 0
-    prev_lo = jnp.where(first, row_ref[0, nr], out_ref[0, 0])
-    prev_up = jnp.where(first, row_ref[0, nr + 1], out_ref[0, 1])
-    out_ref[0, 0] = jnp.minimum(prev_lo, lo_t)
-    out_ref[0, 1] = jnp.minimum(prev_up, up_t)
+    prev_lo = jnp.where(first, row_ref[0, nr], out_ref[0, t_id, 0])
+    prev_up = jnp.where(first, row_ref[0, nr + 1], out_ref[0, t_id, 1])
+    out_ref[0, t_id, 0] = jnp.minimum(prev_lo, lo_t)
+    out_ref[0, t_id, 1] = jnp.minimum(prev_up, up_t)
 
 
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
@@ -834,45 +881,45 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         vox_pack = jnp.stack(vox, axis=1)[:, None, :]      # (B, 1, nv)
         vox_pack = jnp.pad(vox_pack,
                            ((0, 0), (0, 0), (0, NV - len(vox))))
-        q1_t = qA1p[0].reshape(B, S, n_tiles, tile)
-        q2_t = qA1p[1].reshape(B, S, n_tiles, tile)
-        q1ab_t = jnp.concatenate([q1_t, q2_t], axis=3).reshape(B, S, -1)
-        padb = lambda x: jnp.pad(x, ((0, 0), (0, 0),
-                                     (0, N2pb - x.shape[2])))
-        qb2 = jnp.concatenate(
-            [padb(qA2[0]).reshape(B, S, NB, N2B),
-             padb(qA2[1]).reshape(B, S, NB, N2B)],
-            axis=3).reshape(B, S, -1)                      # (B, S, NB*2N2B)
-        Rb = padb(qA2[2])
-        ab = padb(qA2[3])
-        grid = (B, n_tiles, NB)
-        tiled = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, t),
-                                       memory_space=pltpu.VMEM)
-        colblk = lambda d: pl.BlockSpec((1, S, d), lambda b, t, c: (b, 0, c),
-                                        memory_space=pltpu.VMEM)
+        q3a = dfscan.quantize3(A1p)
+        q3b = dfscan.quantize3(A2h)
+        q123_t, a1bf_t, rabf_t = _pack_row_operands(
+            q3a, A1p.astype(jnp.bfloat16), n_tiles, tile)
+        qb3, rbbf, abbf = _pack_col_operands(q3b, NB, N2B)
+        grid = (B, NB, n_tiles)
+        tiled = lambda d: pl.BlockSpec(
+            (1, 1, S, d), lambda b, c, t: (b, t, 0, 0),
+            memory_space=pltpu.VMEM)
+        colblk = lambda d: pl.BlockSpec(
+            (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
+            memory_space=pltpu.VMEM)
         out = pl.pallas_call(
             partial(_rowmin4_kernel, n2=N2, n2b=N2B, n3=N3, n4=N4, nr=nr,
                     tile=tile),
             grid=grid,
             in_specs=[
-                tiled(2 * tile),                           # int8 [Q1|Q2]
-                tiled(tile),                               # A1h (f32)
-                tiled(tile),                               # Ra (f32)
-                colblk(2 * N2B),                           # int8 [Q1b|Q2b]
-                colblk(N2B),                               # Rb
-                colblk(N2B),                               # ab
-                pl.BlockSpec((1, NR, tile), lambda b, t, c: (b, 0, t),
+                tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
+                tiled(tile),                               # A1 (bf16)
+                tiled(tile),                               # Ra (bf16)
+                colblk(3 * N2B),                           # int8 Qb levels
+                colblk(N2B),                               # Rb (bf16)
+                colblk(N2B),                               # ab (bf16)
+                pl.BlockSpec((1, NR, tile), lambda b, c, t: (b, 0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NC, N2B), lambda b, t, c: (b, 0, c),
+                pl.BlockSpec((1, NC, N2B), lambda b, c, t: (b, 0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, NV), lambda b, t, c: (b, 0, 0),
+                pl.BlockSpec((1, 1, NV), lambda b, c, t: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, tile), lambda b, t, c: (b, 0, t),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 8, N1p), jnp.float32),
+            out_specs=pl.BlockSpec(
+                (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n_tiles, 8, tile),
+                                           jnp.float32),
             interpret=interpret,
-        )(q1ab_t, A1p, qA1p[2], qb2, Rb, ab, row_pack, col_pack, vox_pack)
+        )(q123_t, a1bf_t, rabf_t, qb3, rbbf, abbf, row_pack, col_pack,
+          vox_pack)
+        out = out.transpose(0, 2, 1, 3).reshape(B, 8, N1p)
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]

@@ -10,9 +10,11 @@ is the implicit output gather — voxels are embarrassingly parallel.
 Two parallel axes are exposed:
   * ``data``  — voxel batch (pure DP; no cross-device communication)
   * ``atoms`` — the second sub-dictionary's atom axis in the candidate scan
-    (model parallelism). Each device scans its atom shard and the global
-    first-minimum is reconstructed with an all-gather + offset-corrected
-    argmin, preserving the reference's tie-breaking.
+    (model parallelism; sharded_df3_candidates). Each device scans its atom
+    shard and the global first-minimum is reconstructed with an all-gather +
+    offset-corrected re-rank, preserving the reference's tie-breaking.
+    models/fit.run_bucket_fast routes the 2-fascicle+CSF scan through it
+    whenever the mesh's 'atoms' axis is larger than 1.
 """
 
 
@@ -25,8 +27,6 @@ try:  # jax >= 0.8
     from jax import shard_map
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
-
-from ..ops import nnls
 
 
 def build_mesh(n_data=None, n_atoms=1, devices=None):
@@ -54,45 +54,63 @@ def replicate(mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
-def sharded_exhaustive_2(mesh, A1, A2, y):
-    """2-sub-dictionary exhaustive NNLS, voxel-DP x atom-TP on the mesh.
+def sharded_df3_candidates(mesh, A1, A2, a3, y, M=1, tile=256):
+    """Atom-axis tensor-parallel double-float candidate scan, [N1, N2, 1].
 
-    A1 (B, S, N1) sharded over 'data'; A2 (B, S, N2) sharded over
-    ('data', None, 'atoms'); y (B, S) over 'data'. Each device scans the
-    N1 x (N2/n_atoms) candidate sub-grid; the global winner per voxel is
-    recovered with an all-gather over 'atoms' and an offset-corrected
-    first-minimum, which preserves the reference candidate ordering
-    (row-major over the full N1 x N2 grid).
+    The PRODUCTION exact-selection scan (ops/dfscan.df3_candidates) with
+    the second sub-dictionary's atom axis sharded over the mesh's 'atoms'
+    axis: each device scans the N1 x (N2 / n_atoms) candidate sub-grid,
+    then the global top-M is reconstructed with an all-gather of each
+    shard's champions and a (value, flat-rank) re-rank — the flat rank
+    ``i1 * N2 + i2_global`` preserves the reference's first-minimum tie
+    order over the full grid (mf_utils.py:382). Useful when the rotated
+    A2 block of a very large dictionary should not live on one device.
+
+    A1 (B, S, N1) / a3 (B, S, 1) / y (B, S) sharded over 'data' only;
+    A2 (B, S, N2) over ('data', None, 'atoms'). Residual values are
+    comparable across shards because the scan normalizes per COLUMN and
+    per voxel (shard-invariant). Returns (cand (B, M, 2) int32, res
+    (B, M), y_sq (B,)) exactly like the single-device scan.
     """
+    from ..ops import dfscan
     N2 = A2.shape[2]
     n_at = mesh.shape["atoms"]
     assert N2 % n_at == 0, "atom axis must divide evenly across devices"
     n2_loc = N2 // n_at
 
-    def local_scan(A1_l, A2_l, y_l):
-        # A2_l: (b, S, N2/n_at) local atom shard
-        w, ind, obj = nnls.exhaustive_2_batched(A1_l, A2_l, y_l)
+    def local(A1_l, A2_l, a3_l, y_l):
+        cand, vals, ysq = dfscan.df3_candidates(A1_l, A2_l, a3_l, y_l,
+                                                M=M, tile=tile)
         shard = jax.lax.axis_index("atoms")
-        # flat rank in the GLOBAL candidate grid (i1 * N2 + global i2)
-        gflat = ind[:, 0] * N2 + shard * n2_loc + ind[:, 1]
-        # gather every shard's champion, pick the global first minimum
-        objs = jax.lax.all_gather(obj, "atoms", axis=1)       # (b, n_at)
-        flats = jax.lax.all_gather(gflat, "atoms", axis=1)    # (b, n_at)
-        ws = jax.lax.all_gather(w, "atoms", axis=1)           # (b, n_at, 2)
-        # order by (obj, flat): smallest obj, earliest candidate on ties
-        order = jnp.argsort(flats, axis=1)
-        objs_o = jnp.take_along_axis(objs, order, axis=1)
-        best = jnp.argmin(objs_o, axis=1)  # first (lowest flat) min
-        pick = jnp.take_along_axis(order, best[:, None], axis=1)
-        obj_g = jnp.take_along_axis(objs, pick, axis=1)[:, 0]
-        flat_g = jnp.take_along_axis(flats, pick, axis=1)[:, 0]
-        w_g = jnp.take_along_axis(ws, pick[:, :, None], axis=1)[:, 0, :]
-        ind_g = jnp.stack([flat_g // N2, flat_g % N2], axis=1)
-        return w_g, ind_g.astype(jnp.int32), obj_g
+        flat = cand[:, :, 0] * N2 + shard * n2_loc + cand[:, :, 1]
+        vals_g = jax.lax.all_gather(vals, "atoms", axis=1)   # (b, n_at, M)
+        flats_g = jax.lax.all_gather(flat, "atoms", axis=1)
+        B_l = vals.shape[0]
+        vals_f = vals_g.reshape(B_l, -1)
+        flats_f = flats_g.reshape(B_l, -1)
+        # global top-M by (value, flat rank): index-sort, then a stable
+        # value sort — equal residuals resolve to the earliest candidate
+        order = jnp.argsort(flats_f, axis=1)
+        v_o = jnp.take_along_axis(vals_f, order, axis=1)
+        f_o = jnp.take_along_axis(flats_f, order, axis=1)
+        rank = jnp.argsort(v_o, axis=1, stable=True)[:, :M]
+        v_m = jnp.take_along_axis(v_o, rank, axis=1)
+        f_m = jnp.take_along_axis(f_o, rank, axis=1)
+        cand_m = jnp.stack([f_m // N2, f_m % N2], axis=2).astype(jnp.int32)
+        return cand_m, v_m, ysq
 
-    fn = shard_map(local_scan, mesh=mesh,
-                   in_specs=(P("data", None, None), P("data", None, "atoms"),
-                             P("data", None)),
-                   out_specs=(P("data", None), P("data", None), P("data")),
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("data", None, None),
+                             P("data", None, "atoms"),
+                             P("data", None, None), P("data", None)),
+                   out_specs=(P("data", None, None), P("data", None),
+                              P("data")),
                    check_vma=False)
-    return fn(A1, A2, y)
+    return fn(A1, A2, a3, y)
+
+
+def shard_atoms(mesh, x):
+    """Shard the last (atom) axis of ``x`` over the 'atoms' mesh axis,
+    keeping axis 0 on 'data'."""
+    spec = P("data", *([None] * (x.ndim - 2)), "atoms")
+    return jax.device_put(x, NamedSharding(mesh, spec))

@@ -151,6 +151,25 @@ def test_rowmin4_pallas_matches_xla(rng):
     np.testing.assert_allclose(upf0, upf1, rtol=0, atol=1e-5)
 
 
+def test_rowmin3_pallas_matches_xla(rng):
+    """The fused rowmin_3 kernel (interpret mode) matches the XLA body
+    within interval semantics (same chains; the kernel's three-level-int8
+    + bf16-corrected Gram differs from the XLA HIGHEST df Gram by ~ulp,
+    absorbed by the KERR radius)."""
+    A1, A2, a3, y = _rand_problem(rng, B=3, S=40, N1=260, N2=140,
+                                  corr=0.9, positive=True)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, y))
+    lo0, up0, upf0 = (np.asarray(v) for v in f32scan.rowmin_3(*args))
+    lo1, up1, upf1 = (np.asarray(v) for v in f32scan.rowmin_3(
+        *args, pallas=True, interpret=True))
+    for x0, x1 in ((lo0, lo1), (up0, up1)):
+        pat = np.isfinite(x0) == np.isfinite(x1)
+        assert pat.mean() > 0.99, "support pattern diverged"
+        m = pat & np.isfinite(x0)
+        np.testing.assert_allclose(x0[m], x1[m], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(upf0, upf1, rtol=0, atol=1e-5)
+
+
 def test_overflow_flag(rng):
     """With R smaller than the number of exact ties, ok must be False."""
     B, S, N2 = 2, 30, 20

