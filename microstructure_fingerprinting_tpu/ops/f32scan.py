@@ -1020,14 +1020,25 @@ def df3_twopass(A1, A2, a3, y, M=1, R=128, fused=None):
 def df4_twopass(A1, A2, a3, a4, y, M=1, R=128, fused=None):
     """Two-pass exact top-M for [N1, N2, N3, N4] (EAR configuration).
     Returns (cand (B, M, 4), res (B, M), y_sq (B,), ok (B,)).
-    ``fused`` runs the row pass as the Pallas kernel (default: on for the
-    TPU backend)."""
+    ``fused`` runs the row pass AND the df re-scan as Pallas kernels
+    (default: on for the TPU backend); the XLA re-scan otherwise —
+    identical selection, exact ties may resolve to a different
+    equal-residual candidate between the two."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
     lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y, pallas=bool(fused))
     rows, ok = _select_rows(lo, up, up_floor, R)
     A1_sel = _gather_cols(A1, rows)
-    cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y, M=M)
+    if fused:
+        from . import pallas_dfscan as pdf
+        N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
+        rr, ri, y_sq = pdf.row_scan_df4(A1_sel, A2, a3, a4, y)
+        cand, vals = pdf.candidates_from_rows_df4(
+            rr, ri, M, N3 * N4, N4, N2,
+            segments_total=pdf.n_segments_df4(N2))
+    else:
+        cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y,
+                                                 M=M)
     loc = jnp.clip(cand[:, :, 0], 0, R - 1)
     i1 = jnp.take_along_axis(rows, loc, axis=1)
     cand = jnp.concatenate([i1[:, :, None], cand[:, :, 1:]], axis=2)

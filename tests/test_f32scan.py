@@ -202,3 +202,55 @@ def test_twopass_recovers_planted_atom(rng):
     cand = np.asarray(cand)
     assert np.all(cand[:, 0, 0] == i1s)
     assert np.all(cand[:, 0, 1] == i2s)
+
+
+def test_row_scan_df4_kernel_matches_onepass(rng):
+    """The fused df4 re-scan kernel (interpret mode) reproduces the XLA
+    one-pass selection exactly: same (i1, i2, i3, i4), same residuals,
+    on the production EAR shape (N3=1 CSF column, N4=10 diffusivities)
+    with N2 large enough to exercise column blocking."""
+    from microstructure_fingerprinting_tpu.ops import pallas_dfscan as pdf
+    B, S, N1, N2, N3, N4 = 3, 48, 120, 300, 1, 10
+    base = np.abs(rng.randn(B, S, 1))
+    mk = lambda n: np.float32(
+        0.9 * base + 0.1 * (np.abs(rng.randn(B, S, n)) + 0.05))
+    A1, A2 = mk(N1), mk(N2)
+    a3 = np.float32(np.abs(rng.randn(B, S, N3)) + 0.05)
+    a4 = np.float32(np.abs(rng.randn(B, S, N4)) + 0.05)
+    y = np.float32(np.abs(rng.randn(B, S)))
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    rr, ri, ysq = pdf.row_scan_df4(*args, interpret=True)
+    cand, vals = pdf.candidates_from_rows_df4(
+        rr, ri, 1, N3 * N4, N4, N2,
+        segments_total=pdf.n_segments_df4(N2))
+    cand0, vals0, ysq0 = dfscan.df4_candidates(*args, M=1)
+    assert np.all(np.asarray(cand)[:, 0] == np.asarray(cand0)[:, 0])
+    np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                               np.asarray(vals0)[:, 0],
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ysq), np.asarray(ysq0),
+                               rtol=1e-6)
+
+
+def test_row_scan_df4_tie_order(rng):
+    """Duplicate winning columns: the kernel resolves exact ties to the
+    first (i1, i2, i3, i4) in product order, like dfscan.df4_candidates
+    (reference itertools.product order, mf_utils.py:637)."""
+    from microstructure_fingerprinting_tpu.ops import pallas_dfscan as pdf
+    B, S, N1, N2, N3, N4 = 2, 32, 64, 140, 1, 4
+    A1 = np.float32(np.abs(rng.randn(B, S, N1)) + 0.05)
+    A2 = np.float32(np.abs(rng.randn(B, S, N2)) + 0.05)
+    # plant the same winning column twice in A2 (indices 7 and 90)
+    A2[:, :, 90] = A2[:, :, 7]
+    a3 = np.float32(np.abs(rng.randn(B, S, N3)) + 0.05)
+    a4 = np.float32(np.abs(rng.randn(B, S, N4)) + 0.05)
+    y = np.stack([0.8 * A1[b, :, 11] + 0.2 * A2[b, :, 7]
+                  for b in range(B)]).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    rr, ri, _ = pdf.row_scan_df4(*args, interpret=True)
+    cand, vals = pdf.candidates_from_rows_df4(
+        rr, ri, 1, N3 * N4, N4, N2,
+        segments_total=pdf.n_segments_df4(N2))
+    cand0, _v0, _ = dfscan.df4_candidates(*args, M=1)
+    assert np.all(np.asarray(cand)[:, 0] == np.asarray(cand0)[:, 0])
+    assert np.all(np.asarray(cand)[:, 0, 1] == 7)
