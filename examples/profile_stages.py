@@ -61,8 +61,9 @@ def main(num_atom=782, chunk=512, reps=5):
             lambda: pdf.row_scan_df3(A1, A2, csf_blk, y), reps)
         print("one-pass fused    %7.1f ms" % (t_fused * 1e3))
 
+    on_tpu = jax.default_backend() == "tpu"
     t_rm, (lo, up, upf) = timed(
-        lambda: f32scan.rowmin_3(A1, A2, csf_blk, y), reps)
+        lambda: f32scan.rowmin_3(A1, A2, csf_blk, y, pallas=on_tpu), reps)
     print("two-pass: rowmin  %7.1f ms" % (t_rm * 1e3))
     R = 256
     t_sel, (rows, ok) = timed(
@@ -98,8 +99,17 @@ def main(num_atom=782, chunk=512, reps=5):
     ear_d = jnp.asarray(sig_ear.astype(dt))
     ear_blk = jnp.broadcast_to(ear_d[None], (chunk, S, 10))
     t_rm4, (lo4, up4, upf4) = timed(
-        lambda: f32scan.rowmin_4(A1, A2, csf_blk, ear_blk, y), reps)
+        lambda: f32scan.rowmin_4(A1, A2, csf_blk, ear_blk, y,
+                                 pallas=on_tpu), reps)
     print("EAR rowmin_4      %7.1f ms" % (t_rm4 * 1e3))
+    if on_tpu:
+        from microstructure_fingerprinting_tpu.ops import pallas_dfscan \
+            as pdf
+        rows4, _ok4s = f32scan._select_rows(lo4, up4, upf4, R)
+        A1s4 = f32scan._gather_cols(A1, rows4)
+        t_df4, _ = timed(
+            lambda: pdf.row_scan_df4(A1s4, A2, csf_blk, ear_blk, y), reps)
+        print("EAR df4 re-scan   %7.1f ms" % (t_df4 * 1e3))
     t_tp4, (c4, _v4, _q4, ok4) = timed(
         lambda: f32scan.df4_twopass(A1, A2, csf_blk, ear_blk, y,
                                     M=1, R=R), reps)

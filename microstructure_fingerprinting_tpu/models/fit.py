@@ -32,7 +32,10 @@ from ..ops import interp as mfi
 from ..ops import nnls as mfn
 
 
-_TWOPASS_EAR = True  # f32 Pallas row pass + df re-scan (ops/f32scan)
+# EAR (4-block) two-pass: f32 row pass + fused df re-scan (ops/f32scan).
+# True = on for the TPU backend; "force" = on for any backend with the
+# XLA kernels (CI coverage of the production composition); False = off.
+_TWOPASS_EAR = True
 
 
 def _r_squared(y, y_rec):
@@ -311,11 +314,13 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             # top rows. The XLA row-pass form materializes its support
             # tiles in HBM (measured 3x slower than even the one-pass df4
             # scan), so the two-pass is gated on the fused kernel.
-            if twopass and _TWOPASS_EAR and (
-                    jax.default_backend() == "tpu" and mesh is None):
+            on_tpu = jax.default_backend() == "tpu"
+            if twopass and mesh is None and (
+                    (_TWOPASS_EAR and on_tpu)
+                    or _TWOPASS_EAR == "force"):
                 cand2, res2, _ysq, okf = f32.df4_twopass(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                    R=rows_R_ear, fused=True)
+                    R=rows_R_ear, fused=on_tpu)
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)

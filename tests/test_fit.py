@@ -592,7 +592,15 @@ def test_twopass_production_graph(rng, monkeypatch):
     Dear = np.linspace(0.8e-9, 2.6e-9, 4)
     sig_ear = (np.exp(-TE / 0.8)[:, None]
                * np.exp(-b[:, None] * Dear[None]))
-    for kw in ({}, {"sig_ear": sig_ear, "ear_on": True}):
+    from microstructure_fingerprinting_tpu.models import fit as fit_mod
+    # force=True additionally drives the EAR two-pass composition
+    # (rowmin_4 -> row selection -> df4 re-scan -> okf plumbing) that
+    # production gates on the TPU backend (fit.py _TWOPASS_EAR)
+    for kw, force in (({}, False),
+                      ({"sig_ear": sig_ear, "ear_on": True}, False),
+                      ({"sig_ear": sig_ear, "ear_on": True}, True)):
+        if force:
+            monkeypatch.setattr(fit_mod, "_TWOPASS_EAR", "force")
         host = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
                                batch=8, device_finalize=False, **kw)
         dev = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
