@@ -71,19 +71,20 @@ def _tpu_throughput(wl):
     n_ear = N_VOX_BATCH // 4
     y_ear = y[:n_ear] + 35 * sig_ear[:, 4][None, :]
 
-    def step_ear():
+    def step_ear(defer=False):
         return run_bucket_fast(ms, plan, ys_t, peaks[:n_ear], y_ear,
                                wl["sig_csf"], 2, True, batch=CHUNK, topm=16,
                                interpret=interpret, rotator=rotator,
-                               sig_ear=sig_ear, ear_on=True)
+                               sig_ear=sig_ear, ear_on=True, defer=defer)
 
-    step_ear()
-    times_ear = []
-    for _ in range(max(N_BATCHES - 2, 2)):
-        t0 = time.time()
-        step_ear()
-        times_ear.append(time.time() - t0)
-    ear_vox_per_s = n_ear / float(np.median(times_ear))
+    step_ear()  # compile + warm
+    # pipelined, as MFModel.fit dispatches buckets (defer + pull in order)
+    n_rep = max(N_BATCHES - 2, 2)
+    t0 = time.time()
+    pend_e = [step_ear(defer=True) for _ in range(n_rep)]
+    for fin in pend_e:
+        fin()
+    ear_vox_per_s = n_rep * n_ear / (time.time() - t0)
     return vox_per_s, ear_vox_per_s, out
 
 
