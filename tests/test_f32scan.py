@@ -254,3 +254,25 @@ def test_row_scan_df4_tie_order(rng):
     cand0, _v0, _ = dfscan.df4_candidates(*args, M=1)
     assert np.all(np.asarray(cand)[:, 0] == np.asarray(cand0)[:, 0])
     assert np.all(np.asarray(cand)[:, 0, 1] == 7)
+
+
+def test_row_scan_df4_kernel_general_n3(rng):
+    """N3 > 1 (beyond the production CSF-single-column shape): the
+    kernel's generic {1,2,X} / sweep enumeration still matches."""
+    from microstructure_fingerprinting_tpu.ops import pallas_dfscan as pdf
+    B, S, N1, N2, N3, N4 = 2, 32, 64, 70, 2, 3
+    A1 = np.float32(np.abs(rng.randn(B, S, N1)) + 0.05)
+    A2 = np.float32(np.abs(rng.randn(B, S, N2)) + 0.05)
+    a3 = np.float32(np.abs(rng.randn(B, S, N3)) + 0.05)
+    a4 = np.float32(np.abs(rng.randn(B, S, N4)) + 0.05)
+    y = np.float32(np.abs(rng.randn(B, S)))
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    rr, ri, _ = pdf.row_scan_df4(*args, interpret=True)
+    cand, vals = pdf.candidates_from_rows_df4(
+        rr, ri, 1, N3 * N4, N4, N2,
+        segments_total=pdf.n_segments_df4(N2))
+    cand0, vals0, _ = dfscan.df4_candidates(*args, M=1)
+    assert np.all(np.asarray(cand)[:, 0] == np.asarray(cand0)[:, 0])
+    np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                               np.asarray(vals0)[:, 0],
+                               rtol=1e-6, atol=1e-9)
