@@ -20,6 +20,7 @@ specialized XLA programs instead of data-dependent branches.
 """
 
 import math
+import warnings
 from functools import partial
 
 import numpy as np
@@ -36,6 +37,19 @@ from ..ops import nnls as mfn
 # True = on for the TPU backend; "force" = on for any backend with the
 # XLA kernels (CI coverage of the production composition); False = off.
 _TWOPASS_EAR = True
+
+# Pallas-kernel health per scan family. A Mosaic compile failure (e.g. a
+# toolchain regression on the remote compile service) must degrade the
+# bucket to the XLA kernels — same selection, slower — not kill the fit;
+# set to False on first failure so later chunks skip the broken compile.
+_FUSED_OK = {"df3": True, "df4": True}
+
+
+def _fused_fallback(key, exc, what):
+    warnings.warn(
+        "fused %s kernels unavailable (%s: %s); falling back to the XLA "
+        "scan for this process" % (what, type(exc).__name__, exc))
+    _FUSED_OK[key] = False
 
 
 def _r_squared(y, y_rec):
@@ -318,9 +332,18 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             if twopass and mesh is None and (
                     (_TWOPASS_EAR and on_tpu)
                     or _TWOPASS_EAR == "force"):
-                cand2, res2, _ysq, okf = f32.df4_twopass(
-                    D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                    R=rows_R_ear, fused=on_tpu)
+                fused4 = on_tpu and _FUSED_OK["df4"]
+                try:
+                    cand2, res2, _ysq, okf = f32.df4_twopass(
+                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
+                        R=rows_R_ear, fused=fused4)
+                except Exception as e:  # Mosaic compile guard
+                    if not fused4:
+                        raise
+                    _fused_fallback("df4", e, "EAR two-pass")
+                    cand2, res2, _ysq, okf = f32.df4_twopass(
+                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
+                        R=rows_R_ear, fused=False)
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
@@ -343,22 +366,36 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 # count overflowed R — they are re-solved exactly over
                 # the full grid after the pull. Scan + finalize run as
                 # ONE compiled step.
-                c0, w_c, obj_c, r2_c, okf = _twopass_step3(
-                    D, csf_d, yy_c, rows_R,
-                    fused=(jax.default_backend() == "tpu"
-                           and mesh is None))
+                fused3 = (jax.default_backend() == "tpu"
+                          and mesh is None and _FUSED_OK["df3"])
+                try:
+                    c0, w_c, obj_c, r2_c, okf = _twopass_step3(
+                        D, csf_d, yy_c, rows_R, fused=fused3)
+                except Exception as e:  # Mosaic compile guard
+                    if not fused3:
+                        raise
+                    _fused_fallback("df3", e, "two-pass")
+                    c0, w_c, obj_c, r2_c, okf = _twopass_step3(
+                        D, csf_d, yy_c, rows_R, fused=False)
                 fin_d.append((c0, w_c, obj_c, r2_c, okf))
                 continue
-            elif jax.default_backend() == "tpu" and mesh is None:
+            elif (jax.default_backend() == "tpu" and mesh is None
+                  and _FUSED_OK["df3"]):
                 # fused one-pass kernel: int8 Gram + compensated chain in
                 # VMEM (the pre-two-pass production path; kept for small
                 # dictionaries below the two-pass row-budget cutoff)
                 from ..ops import pallas_dfscan as pdf
-                rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1], csf_blk,
-                                                yy_c)
-                cand2, res2 = pdf.candidates_from_rows(
-                    rr, ri, pool,
-                    segments=pdf.n_segments(D.shape[3]))
+                try:
+                    rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1],
+                                                    csf_blk, yy_c)
+                except Exception as e:  # Mosaic compile guard
+                    _fused_fallback("df3", e, "one-pass")
+                    cand2, res2, _ysq = dfscan.df3_candidates(
+                        D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
+                else:
+                    cand2, res2 = pdf.candidates_from_rows(
+                        rr, ri, pool,
+                        segments=pdf.n_segments(D.shape[3]))
             else:
                 cand2, res2, _ysq = dfscan.df3_candidates(
                     D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
