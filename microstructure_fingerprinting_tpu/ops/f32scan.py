@@ -637,15 +637,17 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
 
 
 def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
-                    row_ref, col_ref, vox_ref, out_ref,
-                    *, n2, n2b, n3, n4, nr, tile):
+                    row_ref, col_ref, vox_ref, out_ref, out2_ref,
+                    *, n1, n2, n2b, n3, n4, nr, tile):
     """Pallas TPU kernel: one (column-block x i1-tile) cell of the
     4-block f32 interval row pass. The per-point math is shared with the
     XLA form (_rowmin4_body) via ref accessors; ``nr`` is the row-pack
     index of the hoisted row-level lo (up at nr + 1), folded in at the
     first column block. Grid (B, NB, n_tiles), row tiles innermost (see
     _rowmin3_kernel); output block (1, n_tiles, 8, T) accumulates the
-    whole voxel: out[t, 0] lo, out[t, 1] up."""
+    whole voxel: out[t, 0] lo, out[t, 1] up. out2 (1, 1, 8, N2B),
+    revisited across row tiles, accumulates the per-COLUMN lo minima
+    (out2[0, 0] — column-band selection for the df re-scan)."""
     INF = float(np.inf)
     cb = pl.program_id(1)
     t_id = pl.program_id(2)
@@ -667,10 +669,18 @@ def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     prev_up = jnp.where(first, row_ref[0, nr + 1], out_ref[0, t_id, 1])
     out_ref[0, t_id, 0] = jnp.minimum(prev_lo, lo_t)
     out_ref[0, t_id, 1] = jnp.minimum(prev_up, up_t)
+    # padded rows of the last tile carry zero chain prefixes whose
+    # shell-zone contributions (-KER) would poison the column minima
+    rowi = t_id * tile + lax.broadcasted_iota(jnp.int32, lo.shape, 0)
+    lo_c = jnp.min(jnp.where(rowi < n1, lo, INF), axis=0)
+    prev_c = jnp.where(t_id == 0, INF, out2_ref[0, 0, 0])
+    out2_ref[0, 0, 0] = jnp.minimum(prev_c, lo_c)
 
 
-@partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
-def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
+@partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
+                                   "colmin"))
+def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
+             colmin=False):
     """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config).
 
     Per (i1, i2) point, the ns = N3*N4 (i3, i4) LDL finishes run off
@@ -679,7 +689,11 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     {1}, {1,i3}, {1,i4}, {1,i3,i4} (exact df4 case semantics, up only —
     the per-point unconstrained full-support lo already bounds them).
     up_floor: block-1-free enumeration.
-    Returns (lo (B, N1), up (B, N1), up_floor (B,)).
+    Returns (lo (B, N1), up (B, N1), up_floor (B,)); with
+    ``colmin=True`` additionally the per-COLUMN lower bounds
+    lo_col (B, N2) — the per-point lo reduced over rows, folded with
+    the {2}, {2,i3}, {2,i4}, {2,i3,i4} column-level supports — for
+    column-band pruning of the df re-scan (df4_twopass).
     """
     B, S, N1 = A1.shape
     N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
@@ -729,12 +743,18 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     q2e = q_.reshape(B, N2, 1, 1)
     c3e = c3.reshape(B, N2, N3, 1)
     c4e = c4[:, :, None, :]
+    # per-column lows of the block-1-free, block-2-containing supports
+    # ({2}, {2,i3}, {2,i4}, {2,i3,i4}) — these pin i2, so column-band
+    # selection (colmin) must see them; their up side is the floor
+    lo_c_sup = jnp.full((B, N2), jnp.inf, jnp.float32)
     for lo_s, up_s in (_sub1(d2e, q2e, w4),
                        _sub2(d2e, d3e, c3e, q2e, r3e, w4, _TOL),
                        _sub2(d2e, d4e, c4e, q2e, r4e, w4, _TOL),
                        _sub3(d2e, d3e, d4e, c3e, c4e, ge, q2e, r3e, r4e,
                              w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
+        lo_c_sup = jnp.minimum(lo_c_sup,
+                               jnp.min(lo_s.reshape(B, N2, -1), axis=2))
 
     # ---- row-level supports {1}, {1,i3}, {1,i4}, {1,i3,i4} ----
     we2 = w_[:, None]
@@ -893,9 +913,9 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         colblk = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
             memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            partial(_rowmin4_kernel, n2=N2, n2b=N2B, n3=N3, n4=N4, nr=nr,
-                    tile=tile),
+        out, out2 = pl.pallas_call(
+            partial(_rowmin4_kernel, n1=N1, n2=N2, n2b=N2B, n3=N3, n4=N4,
+                    nr=nr, tile=tile),
             grid=grid,
             in_specs=[
                 tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
@@ -911,11 +931,18 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
                 pl.BlockSpec((1, 1, NV), lambda b, c, t: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, n_tiles, 8, tile),
-                                           jnp.float32),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, 8, N2B), lambda b, c, t: (b, c, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_tiles, 8, tile), jnp.float32),
+                jax.ShapeDtypeStruct((B, NB, 8, N2B), jnp.float32),
+            ],
             interpret=interpret,
         )(q123_t, a1bf_t, rabf_t, qb3, rbbf, abbf, row_pack, col_pack,
           vox_pack)
@@ -923,7 +950,11 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
-        return lo, up, upf
+        if not colmin:
+            return lo, up, upf
+        lo_col = jnp.minimum(out2[:, :, 0].reshape(B, N2pb)[:, :N2],
+                             lo_c_sup)
+        return lo, up, upf, lo_col
 
     def body(t):
         st = t * tile
@@ -936,9 +967,14 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
         colv = lambda i: cols[i][:, None, :]
         voxv = lambda i: vox[i][:, None, None]
         lo_t, up_t = _rowmin4_body(a, rowv, colv, voxv, N3, N4)
-        return jnp.min(lo_t, axis=2), jnp.min(up_t, axis=2)
+        # padded rows carry garbage chain prefixes -> mask before the
+        # per-column reduction
+        rowi = st + lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1)
+        lo_m = jnp.where(rowi < N1, lo_t, jnp.inf)
+        return (jnp.min(lo_t, axis=2), jnp.min(up_t, axis=2),
+                jnp.min(lo_m, axis=1))
 
-    los, ups = zip(*[body(t) for t in range(n_tiles)])
+    los, ups, locs = zip(*[body(t) for t in range(n_tiles)])
     lo = jnp.concatenate(los, axis=1)
     up = jnp.concatenate(ups, axis=1)
     row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
@@ -946,7 +982,12 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False):
     up = jnp.where(row < N1, up, jnp.inf)[:, :N1]
     lo = jnp.minimum(lo, lo_r)
     up = jnp.minimum(up, up_r)
-    return lo, up, upf
+    if not colmin:
+        return lo, up, upf
+    lo_col = locs[0]
+    for x in locs[1:]:
+        lo_col = jnp.minimum(lo_col, x)
+    return lo, up, upf, jnp.minimum(lo_col, lo_c_sup)
 
 
 @partial(jax.jit, static_argnames=("R",))
@@ -963,16 +1004,24 @@ def _select_rows(lo, up, up_floor, R):
     in-band rows by index (then out-of-band rows by index).
     Returns (rows (B, R) int32 ascending, ok (B,) bool: False when more
     than R - 1 rows qualify)."""
-    N1 = lo.shape[1]
     U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
+    return _select_in_band(lo, U, R)
+
+
+def _select_in_band(lo, U, R):
+    """Shared selection core: indices whose interval lower bound can
+    still beat the global upper bound U (B, 1), index-ascending, index 0
+    forced (owner of the index-free tied supports). ok is False when
+    more than R - 1 indices qualify."""
+    N = lo.shape[1]
     in_band = lo <= U
     n_cand = jnp.sum(in_band, axis=1)
     ok = n_cand <= R - 1
     idx = lax.broadcasted_iota(jnp.int32, lo.shape, 1)
-    key = jnp.where(in_band, idx, idx + N1)
-    key = key.at[:, 0].set(-1)                             # force row 0
-    _negv, rows = lax.top_k(-key, R)  # R smallest keys, index-ascending
-    return rows.astype(jnp.int32), ok
+    key = jnp.where(in_band, idx, idx + N)
+    key = key.at[:, 0].set(-1)                             # force index 0
+    _negv, sel = lax.top_k(-key, R)  # R smallest keys, index-ascending
+    return sel.astype(jnp.int32), ok
 
 
 def _gather_cols(A, rows):
@@ -1023,23 +1072,54 @@ def df4_twopass(A1, A2, a3, a4, y, M=1, R=128, fused=None):
     ``fused`` runs the row pass AND the df re-scan as Pallas kernels
     (default: on for the TPU backend); the XLA re-scan otherwise —
     identical selection, exact ties may resolve to a different
-    equal-residual candidate between the two."""
+    equal-residual candidate between the two.
+
+    Both grid axes are pruned: the row pass's per-row AND per-column
+    interval lower bounds select the R rows x R columns that can contain
+    the winner, and the df re-scan ranks only that sub-grid. Soundness:
+    the winner point's row and column each satisfy lo <= U; supports
+    that pin neither index ({3},{4},{3,4},empty) resolve to (0, 0) in
+    first-minimum order, and index 0 is forced into both selections.
+    Index-ascending subsets keep the reference (i1, i2, i3, i4)
+    first-minimum tie order. ``ok`` is False when either band overflows
+    its budget (caller re-solves those voxels over the full grid)."""
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y, pallas=bool(fused))
+    N1, N2 = A1.shape[2], A2.shape[2]
+    N3, N4 = a3.shape[2], a4.shape[2]
+    prune_cols = N2 > R
+    if prune_cols:
+        lo, up, up_floor, lo_col = rowmin_4(A1, A2, a3, a4, y,
+                                            pallas=bool(fused),
+                                            colmin=True)
+    else:
+        lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y,
+                                    pallas=bool(fused))
     rows, ok = _select_rows(lo, up, up_floor, R)
     A1_sel = _gather_cols(A1, rows)
+    if prune_cols:
+        U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
+        cols, ok_c = _select_in_band(lo_col, U, R)
+        ok = ok & ok_c
+        A2_sel = _gather_cols(A2, cols)
+        n2_sel = R
+    else:
+        A2_sel = A2
+        n2_sel = N2
     if fused:
         from . import pallas_dfscan as pdf
-        N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
-        rr, ri, y_sq = pdf.row_scan_df4(A1_sel, A2, a3, a4, y)
+        rr, ri, y_sq = pdf.row_scan_df4(A1_sel, A2_sel, a3, a4, y)
         cand, vals = pdf.candidates_from_rows_df4(
-            rr, ri, M, N3 * N4, N4, N2,
-            segments_total=pdf.n_segments_df4(N2))
+            rr, ri, M, N3 * N4, N4, n2_sel,
+            segments_total=pdf.n_segments_df4(n2_sel))
     else:
-        cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2, a3, a4, y,
-                                                 M=M)
+        cand, vals, y_sq = dfscan.df4_candidates(A1_sel, A2_sel, a3, a4,
+                                                 y, M=M)
     loc = jnp.clip(cand[:, :, 0], 0, R - 1)
     i1 = jnp.take_along_axis(rows, loc, axis=1)
-    cand = jnp.concatenate([i1[:, :, None], cand[:, :, 1:]], axis=2)
+    i2 = cand[:, :, 1]
+    if prune_cols:
+        i2 = jnp.take_along_axis(cols, jnp.clip(i2, 0, R - 1), axis=1)
+    cand = jnp.concatenate([i1[:, :, None], i2[:, :, None],
+                            cand[:, :, 2:]], axis=2)
     return cand, vals, y_sq, ok

@@ -52,3 +52,17 @@ def has_fixture(name):
 @pytest.fixture
 def rng():
     return np.random.RandomState(141414)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_compiled_executables():
+    """Drop compiled executables between test modules.
+
+    The suite JIT-compiles many large unrolled programs (the off-TPU df
+    scans keep their tile loops statically unrolled); keeping every
+    executable alive for the whole session has produced segfaults in
+    late-session XLA CPU compilations/executions once the accumulated
+    JIT code crossed a process-level threshold. Modules rarely share
+    compiled graphs, so per-module cache clearing costs little."""
+    yield
+    jax.clear_caches()

@@ -276,3 +276,83 @@ def test_row_scan_df4_kernel_general_n3(rng):
     np.testing.assert_allclose(np.asarray(vals)[:, 0],
                                np.asarray(vals0)[:, 0],
                                rtol=1e-6, atol=1e-9)
+
+
+def test_twopass4_col_pruning_matches_onepass(rng):
+    """Column pruning active (N2 > R): selection parity with the
+    one-pass oracle on correlated fingerprint-like data, planted-pair
+    recovery, and both-band ok flags."""
+    B, S, N1, N2, N3, N4 = 4, 48, 150, 220, 1, 10
+    base = np.abs(rng.randn(B, S, 1))
+    mk = lambda n: np.float32(
+        0.9 * base + 0.1 * (np.abs(rng.randn(B, S, n)) + 0.05))
+    A1, A2 = mk(N1), mk(N2)
+    a3 = np.float32(np.abs(rng.randn(B, S, N3)) + 0.05)
+    a4 = np.float32(np.abs(rng.randn(B, S, N4)) + 0.05)
+    y = np.float32(np.abs(rng.randn(B, S)))
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    cand, vals, ysq, ok = f32scan.df4_twopass(*args, M=1, R=64,
+                                              fused=False)
+    cand0, vals0, _ = dfscan.df4_candidates(*args, M=1)
+    ok = np.asarray(ok)
+    assert ok.all()
+    assert np.array_equal(np.asarray(cand)[:, 0], np.asarray(cand0)[:, 0])
+    np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                               np.asarray(vals0)[:, 0],
+                               rtol=1e-5, atol=1e-7)
+    # planted pair: noiseless synthesis recovers (i1*, i2*) through both
+    # pruned bands
+    i1s = rng.randint(0, N1, B)
+    i2s = rng.randint(0, N2, B)
+    yp = np.stack([0.6 * A1[b, :, i1s[b]] + 0.3 * A2[b, :, i2s[b]]
+                   + 0.1 * a3[b, :, 0] for b in range(B)])
+    argsp = args[:4] + (jnp.asarray(yp.astype(np.float32)),)
+    candp, _v, _q, okp = f32scan.df4_twopass(*argsp, M=1, R=64,
+                                             fused=False)
+    assert np.asarray(okp).all()
+    candp = np.asarray(candp)
+    assert np.all(candp[:, 0, 0] == i1s)
+    assert np.all(candp[:, 0, 1] == i2s)
+
+
+def test_twopass4_col_pruning_block1_free_optimum(rng):
+    """Optimum on a {2, ear} support (w1 = 0 boundary): the pruned
+    two-pass must still find an equally-optimal point — same i2/i4 and
+    residual at df resolution; i1 may be any tied representative (the
+    documented boundary-tie caveat)."""
+    B, S, N1, N2, N3, N4 = 3, 48, 150, 220, 1, 10
+    base = np.abs(rng.randn(B, S, 1))
+    mk = lambda n: np.float32(
+        0.9 * base + 0.1 * (np.abs(rng.randn(B, S, n)) + 0.05))
+    A1, A2 = mk(N1), mk(N2)
+    a3 = np.float32(np.abs(rng.randn(B, S, N3)) + 0.05)
+    a4 = np.float32(np.abs(rng.randn(B, S, N4)) + 0.05)
+    y = np.stack([0.7 * A2[b, :, 17] + 0.3 * a4[b, :, 3]
+                  for b in range(B)]).astype(np.float32)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    cand, vals, ysq, ok = f32scan.df4_twopass(*args, M=1, R=64,
+                                              fused=False)
+    cand0, vals0, _ = dfscan.df4_candidates(*args, M=1)
+    ok = np.asarray(ok)
+    cand, cand0 = np.asarray(cand), np.asarray(cand0)
+    assert np.all(cand[ok, 0, 1] == cand0[ok, 0, 1])
+    assert np.all(cand[ok, 0, 3] == cand0[ok, 0, 3])
+    dv = np.abs(np.asarray(vals)[ok, 0] - np.asarray(vals0)[ok, 0])
+    assert np.all(dv <= 1e-11 * np.asarray(ysq)[ok])
+
+
+def test_rowmin4_colmin_pallas_matches_xla(rng):
+    """colmin=True: the kernel's per-column minima (interpret mode)
+    match the XLA body within interval semantics."""
+    A1, A2, a3, y = _rand_problem(rng, B=2, S=40, N1=150, N2=180,
+                                  corr=0.9, positive=True)
+    a4 = np.float32(np.abs(rng.randn(2, 40, 5)) + 0.05)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, a4, y))
+    out0 = f32scan.rowmin_4(*args, colmin=True)
+    out1 = f32scan.rowmin_4(*args, pallas=True, interpret=True,
+                            colmin=True)
+    lc0, lc1 = np.asarray(out0[3]), np.asarray(out1[3])
+    pat = np.isfinite(lc0) == np.isfinite(lc1)
+    assert pat.mean() > 0.99, "column support pattern diverged"
+    m = pat & np.isfinite(lc0)
+    np.testing.assert_allclose(lc0[m], lc1[m], rtol=0, atol=1e-5)
