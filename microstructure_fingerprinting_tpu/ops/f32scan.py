@@ -184,8 +184,8 @@ def _gram_hi(q123, a1bf, rabf, qb, rbbf, abbf, tile, n2b):
 
 
 def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
-                    row_ref, col_ref, vox_ref, out_ref,
-                    *, n2, n2b, tile):
+                    row_ref, col_ref, vox_ref, out_ref, out2_ref,
+                    *, n1, n2, n2b, tile):
     """Pallas TPU kernel: one (column-block x i1-tile) cell of the f32
     interval row scan. Same formulas as rowmin_3's XLA body; constants
     are python floats (array constants cannot be captured by kernels).
@@ -259,6 +259,12 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     prev_up = jnp.where(first, up_rt[:, 0], out_ref[0, t_id, 1])
     out_ref[0, t_id, 0] = jnp.minimum(prev_lo, lo_t)
     out_ref[0, t_id, 1] = jnp.minimum(prev_up, up_t)
+    # per-column lo minima (column-band pruning); padded rows carry zero
+    # chain prefixes whose shell-zone -KER values must be masked out
+    rowi = t_id * tile + lax.broadcasted_iota(jnp.int32, lo.shape, 0)
+    lo_c = jnp.min(jnp.where(rowi < n1, lo, INF), axis=0)
+    prev_c = jnp.where(t_id == 0, INF, out2_ref[0, 0, 0])
+    out2_ref[0, 0, 0] = jnp.minimum(prev_c, lo_c)
 
 
 def _pack_row_operands(qA, A1bf, n_tiles, tile):
@@ -284,8 +290,10 @@ def _pack_col_operands(qB, NB, N2B):
             c4(qB[4].astype(jnp.bfloat16)))
 
 
-@partial(jax.jit, static_argnames=("tile", "pallas", "interpret"))
-def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
+@partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
+                                   "colmin"))
+def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
+             colmin=False):
     """f32 per-row residual intervals for the [N1, N2, 1] configuration.
 
     A1 (B, S, N1), A2 (B, S, N2), a3 (B, S, 1), y (B, S).
@@ -295,7 +303,10 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
     problem). The full row minimum is min(row interval, floor).
     ``pallas`` runs the per-point chain as a fused VMEM kernel
     (_rowmin3_kernel — TPU, or anywhere with ``interpret``); the plain
-    XLA body is the portable default.
+    XLA body is the portable default. ``colmin=True`` additionally
+    returns the per-COLUMN lower bounds lo_col (B, N2) (per-point lo
+    reduced over rows, folded with the {2}, {2,3} column supports) for
+    column-band pruning (df3_twopass).
     """
     B, S, N1 = A1.shape
     if pallas:
@@ -342,6 +353,7 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
     loc_, upc_ = _sub1(d2, q_, we)
     loc2, upc2 = _sub2(d2, d3e, c_, q_, re, we, 0.0)
     upf = jnp.minimum(upf, jnp.min(jnp.minimum(upc_, upc2), axis=1))
+    lo_c_sup = jnp.minimum(loc_, loc2)                     # (B, N2)
 
     # hoists for the per-point progressive chains
     invd1 = 1.0 / d1                                       # (B, N1) ~1
@@ -412,8 +424,8 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
         colblk = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
             memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            partial(_rowmin3_kernel, n2=N2, n2b=N2B, tile=tile),
+        out, out2 = pl.pallas_call(
+            partial(_rowmin3_kernel, n1=N1, n2=N2, n2b=N2B, tile=tile),
             grid=grid,
             in_specs=[
                 tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
@@ -429,11 +441,18 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
                 pl.BlockSpec((1, 1, 8), lambda b, c, t: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
-                memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, n_tiles, 8, tile),
-                                           jnp.float32),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, n_tiles, 8, tile), lambda b, c, t: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, 8, N2B), lambda b, c, t: (b, c, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_tiles, 8, tile), jnp.float32),
+                jax.ShapeDtypeStruct((B, NB, 8, N2B), jnp.float32),
+            ],
             interpret=interpret,
         )(q123_t, a1bf_t, rabf_t, qb3, rbbf, abbf, row_pack, col_pack,
           vox)
@@ -441,7 +460,11 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
         row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
         lo = jnp.where(row < N1, out[:, 0], jnp.inf)[:, :N1]
         up = jnp.where(row < N1, out[:, 1], jnp.inf)[:, :N1]
-        return lo, up, upf
+        if not colmin:
+            return lo, up, upf
+        lo_col = jnp.minimum(out2[:, :, 0].reshape(B, N2pb)[:, :N2],
+                             lo_c_sup)
+        return lo, up, upf, lo_col
 
     cc_ = lambda x: x[:, None, :]
     d2c, qc, cc = cc_(d2), cc_(q_), cc_(c_)
@@ -493,19 +516,26 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False):
             jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
         lo, up = _fold(lo, up, lo2, up2)
 
+        rowi = st + lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1)
+        lo_c = jnp.min(jnp.where(rowi < N1, lo, jnp.inf), axis=1)
         lo = jnp.min(lo, axis=2)                           # (B, tile)
         up = jnp.min(up, axis=2)
         lo = jnp.minimum(lo, lo_rt[:, :, 0])
         up = jnp.minimum(up, up_rt[:, :, 0])
-        return lo, up
+        return lo, up, lo_c
 
-    los, ups = zip(*[body(t) for t in range(n_tiles)])
+    los, ups, locs = zip(*[body(t) for t in range(n_tiles)])
     lo = jnp.concatenate(los, axis=1)
     up = jnp.concatenate(ups, axis=1)
     row = lax.broadcasted_iota(jnp.int32, (B, N1p), 1)
     lo = jnp.where(row < N1, lo, jnp.inf)[:, :N1]
     up = jnp.where(row < N1, up, jnp.inf)[:, :N1]
-    return lo, up, upf
+    if not colmin:
+        return lo, up, upf
+    lo_col = locs[0]
+    for x in locs[1:]:
+        lo_col = jnp.minimum(lo_col, x)
+    return lo, up, upf, jnp.minimum(lo_col, lo_c_sup)
 
 
 def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
@@ -1046,22 +1076,46 @@ def df3_twopass(A1, A2, a3, y, M=1, R=128, fused=None):
     — identical selection, exact ties may resolve to a different equal-
     residual candidate between the two, as between the one-pass paths)."""
     B, S, N1 = A1.shape
+    N2 = A2.shape[2]
     if fused is None:
         fused = jax.default_backend() == "tpu"
-    lo, up, up_floor = rowmin_3(A1, A2, a3, y, pallas=bool(fused))
+    prune_cols = N2 > R
+    if prune_cols:
+        lo, up, up_floor, lo_col = rowmin_3(A1, A2, a3, y,
+                                            pallas=bool(fused),
+                                            colmin=True)
+    else:
+        lo, up, up_floor = rowmin_3(A1, A2, a3, y, pallas=bool(fused))
     rows, ok = _select_rows(lo, up, up_floor, R)
     A1_sel = _gather_cols(A1, rows)
+    if prune_cols:
+        # column-band pruning (same soundness argument as df4_twopass:
+        # the winner's row and column each satisfy lo <= U, index-free
+        # supports resolve to the forced index 0, index-ascending
+        # subsets preserve the first-minimum tie order)
+        U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
+        cols, ok_c = _select_in_band(lo_col, U, R)
+        ok = ok & ok_c
+        A2_sel = _gather_cols(A2, cols)
+        n2_sel = R
+    else:
+        A2_sel = A2
+        n2_sel = N2
     if fused:
         from . import pallas_dfscan as pdf
-        rr, ri, y_sq = pdf.row_scan_df3(A1_sel, A2, a3, y)
+        rr, ri, y_sq = pdf.row_scan_df3(A1_sel, A2_sel, a3, y)
         cand, vals = pdf.candidates_from_rows(
-            rr, ri, M, segments=pdf.n_segments(A2.shape[2]))
+            rr, ri, M, segments=pdf.n_segments(n2_sel))
     else:
-        cand, vals, y_sq = dfscan.df3_candidates(A1_sel, A2, a3, y, M=M)
+        cand, vals, y_sq = dfscan.df3_candidates(A1_sel, A2_sel, a3, y,
+                                                 M=M)
     # +inf pool entries may carry padded local rows -> clamp before gather
     loc = jnp.clip(cand[:, :, 0], 0, R - 1)
     i1 = jnp.take_along_axis(rows, loc, axis=1)
-    cand = jnp.stack([i1, cand[:, :, 1]], axis=2)
+    i2 = cand[:, :, 1]
+    if prune_cols:
+        i2 = jnp.take_along_axis(cols, jnp.clip(i2, 0, R - 1), axis=1)
+    cand = jnp.stack([i1, i2], axis=2)
     return cand, vals, y_sq, ok
 
 

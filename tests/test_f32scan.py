@@ -356,3 +356,41 @@ def test_rowmin4_colmin_pallas_matches_xla(rng):
     assert pat.mean() > 0.99, "column support pattern diverged"
     m = pat & np.isfinite(lc0)
     np.testing.assert_allclose(lc0[m], lc1[m], rtol=0, atol=1e-5)
+
+
+def test_twopass3_col_pruning_matches_onepass(rng):
+    """df3 column pruning active (N2 > R): selection parity with the
+    one-pass oracle on correlated fingerprint-like data."""
+    B, S, N1, N2 = 4, 48, 150, 220
+    base = np.abs(rng.randn(B, S, 1))
+    mk = lambda n: np.float32(
+        0.9 * base + 0.1 * (np.abs(rng.randn(B, S, n)) + 0.05))
+    A1, A2 = mk(N1), mk(N2)
+    a3 = np.float32(np.abs(rng.randn(B, S, 1)) + 0.05)
+    y = np.float32(np.abs(rng.randn(B, S)))
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, y))
+    cand, vals, ysq, ok = f32scan.df3_twopass(*args, M=1, R=64,
+                                              fused=False)
+    cand0, vals0, _ = dfscan.df3_candidates(*args, M=1)
+    ok = np.asarray(ok)
+    assert ok.all()
+    assert np.array_equal(np.asarray(cand)[:, 0], np.asarray(cand0)[:, 0])
+    np.testing.assert_allclose(np.asarray(vals)[:, 0],
+                               np.asarray(vals0)[:, 0],
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_rowmin3_colmin_pallas_matches_xla(rng):
+    """df3 colmin: kernel (interpret) per-column minima match the XLA
+    body within interval semantics."""
+    A1, A2, a3, y = _rand_problem(rng, B=2, S=40, N1=150, N2=180,
+                                  corr=0.9, positive=True)
+    args = tuple(jnp.asarray(x) for x in (A1, A2, a3, y))
+    out0 = f32scan.rowmin_3(*args, colmin=True)
+    out1 = f32scan.rowmin_3(*args, pallas=True, interpret=True,
+                            colmin=True)
+    lc0, lc1 = np.asarray(out0[3]), np.asarray(out1[3])
+    pat = np.isfinite(lc0) == np.isfinite(lc1)
+    assert pat.mean() > 0.99, "column support pattern diverged"
+    m = pat & np.isfinite(lc0)
+    np.testing.assert_allclose(lc0[m], lc1[m], rtol=0, atol=1e-5)
