@@ -330,7 +330,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             # scan), so the two-pass is gated on the fused kernel.
             on_tpu = jax.default_backend() == "tpu"
             if twopass and mesh is None and (
-                    (_TWOPASS_EAR and on_tpu)
+                    (_TWOPASS_EAR and on_tpu and _FUSED_OK["df4"])
                     or _TWOPASS_EAR == "force"):
                 fused4 = on_tpu and _FUSED_OK["df4"]
                 try:
@@ -341,9 +341,13 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     if not fused4:
                         raise
                     _fused_fallback("df4", e, "EAR two-pass")
-                    cand2, res2, _ysq, okf = f32.df4_twopass(
-                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                        R=rows_R_ear, fused=False)
+                    # the XLA two-pass row pass materializes its support
+                    # tiles in HBM (3x slower than the one-pass scan and
+                    # a far larger compile) — degrade straight to the
+                    # one-pass df4 scan
+                    cand2, res2, _ysq = dfscan.df4_candidates(
+                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
+                    okf = None
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
                     D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)

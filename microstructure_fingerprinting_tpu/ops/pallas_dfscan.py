@@ -879,6 +879,12 @@ def row_scan_df4(A1, A2, a3, a4, y, interpret=False, tile=_LANE,
                                     memory_space=pltpu.VMEM)
     kernel = functools.partial(_df4_kernel, n2=N2, n2b=N2B, tile=tile,
                                n3=N3, n4=N4, segs=segs)
+    # the NS-unrolled support enumeration keeps ~150 live (tile, N2B)
+    # temporaries: its kernel stack exceeds Mosaic's default 16 MB scoped-
+    # VMEM cap (measured 20.24 MB at NS=10, N2B=256). Grant it headroom —
+    # v5e cores have 128 MB of VMEM and the operand blocks are small.
+    params = (dict(compiler_params=pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)) if not interpret else {})
     row_res, row_flat = pl.pallas_call(
         kernel,
         grid=grid,
@@ -907,6 +913,7 @@ def row_scan_df4(A1, A2, a3, a4, y, interpret=False, tile=_LANE,
             jax.ShapeDtypeStruct((B, NB * segs, N1p), jnp.int32),
         ],
         interpret=interpret,
+        **params,
     )(q1ab_t, a1h_t, ra_t, qb2, rb_c, ab_c, row_pack, col_pack, vox_pack)
     rowi = lax.broadcasted_iota(jnp.int32, (B, 1, N1p), 2)
     row_res = jnp.where(rowi < N1, row_res, jnp.inf)
