@@ -7,6 +7,8 @@ set -u
 OUT=${1:-/tmp/measure_r3}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# `python examples/foo.py` puts examples/ (not the repo root) on sys.path
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 echo "== exactness (both configs) =="
 timeout 1800 python -u examples/exactness_check.py > "$OUT/exactness.log" 2>&1

@@ -475,8 +475,29 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     if ear_on:
                         ear_f = jnp.broadcast_to(ear_d[None, :, :],
                                                  (fb, S, E))
-                        cand_f, _rf, _yf = dfscan.df4_candidates(
-                            D_f[:, 0], D_f[:, 1], csf_f, ear_f, y_fd, M=1)
+                        fused_fg = (jax.default_backend() == "tpu"
+                                    and mesh is None and _FUSED_OK["df4"])
+                        if fused_fg:
+                            # full-grid fused df4 (no pruning): ~5x the
+                            # XLA sweep's throughput on the overflow
+                            # re-solve
+                            from ..ops import pallas_dfscan as pdf
+                            try:
+                                rr_f, rfl_f, _yf = pdf.row_scan_df4(
+                                    D_f[:, 0], D_f[:, 1], csf_f, ear_f,
+                                    y_fd)
+                                cand_f, _rf = pdf.candidates_from_rows_df4(
+                                    rr_f, rfl_f, 1, E, E, D_f.shape[3],
+                                    segments_total=pdf.n_segments_df4(
+                                        D_f.shape[3]))
+                            except Exception as e:  # Mosaic compile guard
+                                _fused_fallback("df4", e,
+                                                "overflow re-solve")
+                                fused_fg = False
+                        if not fused_fg:
+                            cand_f, _rf, _yf = dfscan.df4_candidates(
+                                D_f[:, 0], D_f[:, 1], csf_f, ear_f, y_fd,
+                                M=1)
                     elif jax.default_backend() == "tpu" and mesh is None:
                         from ..ops import pallas_dfscan as pdf
                         rr_f, ri_f, _yf = pdf.row_scan_df3(

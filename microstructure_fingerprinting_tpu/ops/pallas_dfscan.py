@@ -215,8 +215,8 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
         rmin = jnp.min(r_q, axis=1, keepdims=True)
         idx = jnp.min(jnp.where(r_q == rmin, col, big), axis=1)
         idx = jnp.where(jnp.isfinite(rmin[:, 0]), idx, 0)
-        res_ref[0, q] = rmin[:, 0]
-        idx_ref[0, q] = idx.astype(jnp.int32)
+        res_ref[0, 0, q] = rmin[:, 0]
+        idx_ref[0, 0, q] = idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -400,19 +400,25 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, segs, tile), lambda b, c, t: (b, c, t),
+            # 4D (B, NB, segs, N1p) layout: the last-two block dims
+            # (segs, tile) satisfy Mosaic's full-dim/divisibility rule
+            # for ANY (NB, segs) combination (the flat (B, NB*segs, N1p)
+            # form needs segs % 8 == 0 whenever NB > 1)
+            pl.BlockSpec((1, 1, segs, tile), lambda b, c, t: (b, c, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, segs, tile), lambda b, c, t: (b, c, t),
+            pl.BlockSpec((1, 1, segs, tile), lambda b, c, t: (b, c, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, NB * segs, N1p), jnp.float32),
-            jax.ShapeDtypeStruct((B, NB * segs, N1p), jnp.int32),
+            jax.ShapeDtypeStruct((B, NB, segs, N1p), jnp.float32),
+            jax.ShapeDtypeStruct((B, NB, segs, N1p), jnp.int32),
         ],
         interpret=interpret,
     )(q1ab_t, A1h.astype(jnp.float32), qA1[2].astype(jnp.float32),
       qb2, Rb.astype(jnp.float32), ab.astype(jnp.float32),
       row_pack, col_pack, vox)
+    row_res = row_res.reshape(B, NB * segs, N1p)
+    row_i2 = row_i2.reshape(B, NB * segs, N1p)
     row = lax.broadcasted_iota(jnp.int32, (B, 1, N1p), 2)
     row_res = jnp.where(row < N1, row_res, jnp.inf)
     n_seg = NB * segs
@@ -612,8 +618,8 @@ def _df4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
         rmin = jnp.min(r_q, axis=1, keepdims=True)
         idx = jnp.min(jnp.where(r_q == rmin, gflat, big), axis=1)
         idx = jnp.where(jnp.isfinite(rmin[:, 0]), idx, 0)
-        res_ref[0, q] = rmin[:, 0]
-        idx_ref[0, q] = idx.astype(jnp.int32)
+        res_ref[0, 0, q] = rmin[:, 0]
+        idx_ref[0, 0, q] = idx.astype(jnp.int32)
 
 
 def candidates_from_rows_df4(row_res, row_flat, M, NS, N4, N2,
@@ -903,18 +909,21 @@ def row_scan_df4(A1, A2, a3, a4, y, interpret=False, tile=_LANE,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, segs, tile), lambda b, c, t: (b, c, t),
+            # 4D layout: valid for any (NB, segs) — see row_scan_df3
+            pl.BlockSpec((1, 1, segs, tile), lambda b, c, t: (b, c, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, segs, tile), lambda b, c, t: (b, c, t),
+            pl.BlockSpec((1, 1, segs, tile), lambda b, c, t: (b, c, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, NB * segs, N1p), jnp.float32),
-            jax.ShapeDtypeStruct((B, NB * segs, N1p), jnp.int32),
+            jax.ShapeDtypeStruct((B, NB, segs, N1p), jnp.float32),
+            jax.ShapeDtypeStruct((B, NB, segs, N1p), jnp.int32),
         ],
         interpret=interpret,
         **params,
     )(q1ab_t, a1h_t, ra_t, qb2, rb_c, ab_c, row_pack, col_pack, vox_pack)
+    row_res = row_res.reshape(B, NB * segs, N1p)
+    row_flat = row_flat.reshape(B, NB * segs, N1p)
     rowi = lax.broadcasted_iota(jnp.int32, (B, 1, N1p), 2)
     row_res = jnp.where(rowi < N1, row_res, jnp.inf)
     n_seg = NB * segs
