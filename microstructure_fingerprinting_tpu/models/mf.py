@@ -536,8 +536,16 @@ class MFModel(object):
                 pend = (lambda r=res_now: r)
             pending.append(((K, has_csf, has_ear), idx, pend, st_bucket))
 
+        if VRB >= 2:
+            print("All %d bucket(s) dispatched in %g second(s)."
+                  % (len(pending), time.time() - st_est))
         for (K, has_csf, has_ear), idx, pend, st_bucket in pending:
+            st_pull = time.time()
             w, ind, obj, mse, r2 = pend()
+            if VRB >= 2:
+                print("Bucket K=%d csf=%d ear=%d (%d voxels) pulled in "
+                      "%g second(s)." % (K, has_csf, has_ear, idx.size,
+                                         time.time() - st_pull))
             if VRB >= 3:
                 t_vox = (time.time() - st_bucket) / max(idx.size, 1)
                 hits = np.arange(vox_done, vox_done + idx.size)

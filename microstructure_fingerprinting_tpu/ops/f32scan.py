@@ -291,9 +291,9 @@ def _pack_col_operands(qB, NB, N2B):
 
 
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
-                                   "colmin"))
+                                   "colmin", "ptile", "colcap"))
 def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
-             colmin=False):
+             colmin=False, ptile=128, colcap=512):
     """f32 per-row residual intervals for the [N1, N2, 1] configuration.
 
     A1 (B, S, N1), A2 (B, S, N2), a3 (B, S, 1), y (B, S).
@@ -310,7 +310,7 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
     """
     B, S, N1 = A1.shape
     if pallas:
-        tile = 128
+        tile = ptile
     A1h, _ = mfn._normalize_block(A1)
     A2h, _ = mfn._normalize_block(A2)
     A3h, _ = mfn._normalize_block(a3)
@@ -391,7 +391,7 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         N2 = A2.shape[2]
         NB = 1
         N2_128 = int(math.ceil(N2 / 128) * 128)
-        while N2_128 // NB > 512 and NB < 8:
+        while N2_128 // NB > colcap and NB < 8:
             NB *= 2
         N2B = int(math.ceil(N2_128 / NB / 128) * 128)
         N2pb = NB * N2B
@@ -424,9 +424,16 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         colblk = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
             memory_space=pltpu.VMEM)
+        # larger (tile x N2B) cells exceed Mosaic's default 16 MB scoped-
+        # VMEM cap (the int32 Gram tile alone is 9*tile*N2B*4 bytes);
+        # grant headroom like row_scan_df4 — v5e cores have 128 MB VMEM
+        params = (dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+                  if not interpret and tile * N2B > 128 * 512 else {})
         out, out2 = pl.pallas_call(
             partial(_rowmin3_kernel, n1=N1, n2=N2, n2b=N2B, tile=tile),
             grid=grid,
+            **params,
             in_specs=[
                 tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
                 tiled(tile),                               # A1 (bf16)
@@ -708,9 +715,9 @@ def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
 
 
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
-                                   "colmin"))
+                                   "colmin", "ptile", "colcap"))
 def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
-             colmin=False):
+             colmin=False, ptile=128, colcap=256):
     """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config).
 
     Per (i1, i2) point, the ns = N3*N4 (i3, i4) LDL finishes run off
@@ -728,7 +735,7 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     B, S, N1 = A1.shape
     N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
     if pallas:
-        tile = 128
+        tile = ptile
     A1h, _ = mfn._normalize_block(A1)
     A2h, _ = mfn._normalize_block(A2)
     A3h, _ = mfn._normalize_block(a3)
@@ -915,11 +922,12 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
         row_pack = jnp.stack(rows, axis=1)                 # (B, nr+2, N1p)
         row_pack = jnp.pad(row_pack,
                            ((0, 0), (0, NR - len(rows)), (0, 0)))
-        # 256-column blocks: the support-enumeration body + int8 Gram
-        # operands exceed the 16 MB VMEM budget at 512 (measured 19.4 MB)
+        # 256-column blocks by default: the support-enumeration body +
+        # int8 Gram operands exceed the 16 MB VMEM budget at 512
+        # (measured 19.4 MB); larger blocks get a raised cap below
         NB = 1
         N2_128 = int(math.ceil(N2 / 128) * 128)
-        while N2_128 // NB > 256 and NB < 16:
+        while N2_128 // NB > colcap and NB < 16:
             NB *= 2
         N2B = int(math.ceil(N2_128 / NB / 128) * 128)
         N2pb = NB * N2B
@@ -943,10 +951,17 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
         colblk = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
             memory_space=pltpu.VMEM)
+        # the support-enumeration body keeps many live (tile, N2B)
+        # temporaries; grant scoped-VMEM headroom beyond the default
+        # 16 MB cap when the cell grows (cf. row_scan_df4)
+        params = (dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
+                  if not interpret and tile * N2B > 128 * 256 else {})
         out, out2 = pl.pallas_call(
             partial(_rowmin4_kernel, n1=N1, n2=N2, n2b=N2B, n3=N3, n4=N4,
                     nr=nr, tile=tile),
             grid=grid,
+            **params,
             in_specs=[
                 tiled(3 * tile),                           # int8 [Q1|Q2|Q3]
                 tiled(tile),                               # A1 (bf16)
