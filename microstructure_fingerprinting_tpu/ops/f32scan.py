@@ -150,6 +150,38 @@ def _fold(lo, up, lo2, up2):
     return jnp.minimum(lo, lo2), jnp.minimum(up, up2)
 
 
+def _gram3_hi(qa, qb, contract):
+    """Exact-rounded f32 Gram from two quantize3 decompositions — the XLA
+    hoist sibling of the in-kernel ``_gram_hi``: the 9 int8 level products
+    (grouped by scale, each group's int32 sum < 2^25 so the f32 casts are
+    ~2^-55-absolute exact) are combined error-free with the two bf16
+    corrections on the ~2^-24 quantization residuals (bf16's 2^-9
+    relative error lands at ~0.5 eps_f32 absolute — the same error model
+    as the kernel's Gram, inside the 8 eps row-pass radius). Replaces the
+    former quantize2 + f32-HIGHEST df_gram hoists: no second quantization
+    pass over the rotated blocks, and the correction operands are the
+    bf16 casts the kernel packs already materialize (CSE'd)."""
+    Q1a, Q2a, Q3a, Ra, aa = qa
+    Q1b, Q2b, Q3b, Rb, ab = qb
+    ei = lambda x, y: jnp.einsum(contract, x, y,
+                                 preferred_element_type=jnp.int32)
+    bf = jnp.bfloat16
+    eb = lambda x, y: jnp.einsum(contract, x.astype(bf), y.astype(bf),
+                                 preferred_element_type=jnp.float32)
+    t11 = ei(Q1a, Q1b)
+    t12 = ei(Q1a, Q2b) + ei(Q2a, Q1b)
+    t22 = ei(Q2a, Q2b) + ei(Q1a, Q3b) + ei(Q3a, Q1b)
+    t23 = ei(Q2a, Q3b) + ei(Q3a, Q2b)
+    t33 = ei(Q3a, Q3b)
+    c1 = eb(aa + Ra, Rb)
+    c2 = eb(Ra, ab)
+    f = jnp.float32
+    return df32.df_from_sum(
+        t11.astype(f) * f(2.0 ** -14), t12.astype(f) * f(2.0 ** -22),
+        t22.astype(f) * f(2.0 ** -30), c1, c2,
+        t23.astype(f) * f(2.0 ** -38), t33.astype(f) * f(2.0 ** -46))[0]
+
+
 def _gram_hi(q123, a1bf, rabf, qb, rbbf, abbf, tile, n2b):
     """In-kernel EXACT Gram tile (rounded-to-f32 hi part): one int8 MXU
     dot on the packed THREE-level [Q1|Q2|Q3] decomposition
@@ -267,33 +299,11 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     out2_ref[0, 0, 0] = jnp.minimum(prev_c, lo_c)
 
 
-def _pack_row_operands(qA, A1bf, n_tiles, tile):
-    """Row-side Pallas operands, pre-transposed to (B, n_tiles, S, d) so
-    each (1, 1, S, d) VMEM block is one CONTIGUOUS HBM read: the packed
-    int8 [Q1|Q2|Q3] levels, the bf16 column tile, and the bf16
-    quantization-residual tile (``_gram_hi``'s correction operands)."""
-    B, S, N1p = A1bf.shape
-    t4 = lambda x: x.reshape(B, S, n_tiles, tile).transpose(0, 2, 1, 3)
-    q123 = jnp.concatenate([t4(q) for q in qA[:3]], axis=3)
-    return q123, t4(A1bf), t4(qA[3].astype(jnp.bfloat16))
-
-
-def _pack_col_operands(qB, NB, N2B):
-    """Column-side Pallas operands as (B, NB, S, d) contiguous blocks:
-    int8 [Q1|Q2|Q3] levels, bf16 residual, bf16 exact-part."""
-    B, S = qB[0].shape[:2]
-    N2pb = NB * N2B
-    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, N2pb - x.shape[2])))
-    c4 = lambda x: pad(x).reshape(B, S, NB, N2B).transpose(0, 2, 1, 3)
-    qb3 = jnp.concatenate([c4(q) for q in qB[:3]], axis=3)
-    return (qb3, c4(qB[3].astype(jnp.bfloat16)),
-            c4(qB[4].astype(jnp.bfloat16)))
-
-
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
-                                   "colmin", "ptile", "colcap"))
+                                   "colmin", "ptile", "colcap",
+                                   "_prep_only"))
 def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
-             colmin=False, ptile=128, colcap=512):
+             colmin=False, ptile=128, colcap=512, _prep_only=False):
     """f32 per-row residual intervals for the [N1, N2, 1] configuration.
 
     A1 (B, S, N1), A2 (B, S, N2), a3 (B, S, 1), y (B, S).
@@ -309,35 +319,67 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
     column-band pruning (df3_twopass).
     """
     B, S, N1 = A1.shape
-    if pallas:
-        tile = ptile
-    A1h, _ = mfn._normalize_block(A1)
-    A2h, _ = mfn._normalize_block(A2)
-    A3h, _ = mfn._normalize_block(a3)
-    yh, _yn, _ys = mfn._normalize_y(y)
-    A1h = A1h.astype(jnp.float32)
-    A2h = A2h.astype(jnp.float32)
-    A3h = A3h.astype(jnp.float32)
-    yh = yh.astype(jnp.float32)
-
-    # EXACT Grams (int8 two-level quantization, error-free combination;
-    # ops/dfscan.quantize2/df_gram), rounded once to f32. The f32 einsum
+    N2 = A2.shape[2]
+    # EXACT Grams rounded once to f32 everywhere below (the f32 einsum
     # Grams were the dominant error source of the whole pass — measured
-    # 20 eps worst vs 1.2 eps with exact Grams (the f32 prefix chains and
-    # the per-point chain contribute ~1 eps combined) — and set the
-    # err radius, hence the band width and the overflow rate.
-    qA1, qA2, qA3, qy = (dfscan.quantize2(x)
-                         for x in (A1h, A2h, A3h, yh))
-    g = lambda qa, qb, c: dfscan.df_gram(qa, qb, c)[0]
-    d1 = g(qA1, qA1, "bsn,bsn->bn")                       # ~1
-    d2 = g(qA2, qA2, "bsn,bsn->bn")
-    d3 = g(qA3, qA3, "bsn,bsn->bn")[:, 0]                 # (B,)
-    p_ = g(qA1, qy, "bsn,bs->bn")
-    q_ = g(qA2, qy, "bsn,bs->bn")
-    r_ = g(qA3, qy, "bsn,bs->bn")[:, 0]
-    b_ = g(qA1, qA3, "bsn,bsm->bn")
-    c_ = g(qA2, qA3, "bsn,bsm->bn")
-    w_ = g(qy, qy, "bs,bs->b")
+    # 20 eps worst vs ~1 eps exact — and set the err radius, hence the
+    # band width and the overflow rate).
+    if pallas:
+        # fused prep (ops/pallas_prep): ONE VMEM pass over each raw
+        # rotated block emits the normalized/quantized kernel operand
+        # packs AND the hoist Grams — the former XLA prep (normalize,
+        # quantize, per-Gram einsums, pack transposes) was ~15 separate
+        # HBM passes and 79 of rowmin_3's 113 ms per 512-voxel chunk.
+        # Grams come back padded (zero columns -> zero Grams); the chain
+        # hoists below run at the padded widths, and the kernel masks
+        # padded rows/columns out of every reduction.
+        from . import pallas_prep as pp
+        tile = ptile
+        n_tiles = int(math.ceil(N1 / tile))
+        N1p = n_tiles * tile
+        NB = 1
+        N2_128 = int(math.ceil(N2 / 128) * 128)
+        while N2_128 // NB > colcap and NB < 8:
+            NB *= 2
+        N2B = int(math.ceil(N2_128 / NB / 128) * 128)
+        N2pb = NB * N2B
+        A3h, _ = mfn._normalize_block(a3)
+        yh, _yn, _ys = mfn._normalize_y(y)
+        rhs_q, rhs_r, rhs_a, q3s = pp.pack_rhs(
+            [yh.astype(jnp.float32), A3h[:, :, 0].astype(jnp.float32)])
+        A1p, _np1 = pp.pad_block(A1, tile)
+        A2p, _np2 = pp.pad_block(A2, N2B)
+        q123_t, a1bf_t, rabf_t, _abf1, gramA = pp.prep_block(
+            A1p, rhs_q, rhs_r, rhs_a, tile, interpret=interpret)
+        qb3, _xbf2, rbbf, abbf, gramB = pp.prep_block(
+            A2p, rhs_q, rhs_r, rhs_a, N2B, interpret=interpret)
+        d1, p_, b_ = gramA[:, 0], gramA[:, 1], gramA[:, 2]  # (B, N1p)
+        d2, q_, c_ = gramB[:, 0], gramB[:, 1], gramB[:, 2]  # (B, N2pb)
+        gs = _gram3_hi
+        d3 = gs(q3s[1], q3s[1], "bs,bs->b")
+        r_ = gs(q3s[1], q3s[0], "bs,bs->b")
+        w_ = gs(q3s[0], q3s[0], "bs,bs->b")
+    else:
+        A1h, _ = mfn._normalize_block(A1)
+        A2h, _ = mfn._normalize_block(A2)
+        A3h, _ = mfn._normalize_block(a3)
+        yh, _yn, _ys = mfn._normalize_y(y)
+        A1h = A1h.astype(jnp.float32)
+        A2h = A2h.astype(jnp.float32)
+        A3h = A3h.astype(jnp.float32)
+        yh = yh.astype(jnp.float32)
+        q3A1, q3A2, q3A3, q3y = (dfscan.quantize3(x)
+                                 for x in (A1h, A2h, A3h, yh))
+        g = _gram3_hi
+        d1 = g(q3A1, q3A1, "bsn,bsn->bn")                 # ~1
+        d2 = g(q3A2, q3A2, "bsn,bsn->bn")
+        d3 = g(q3A3, q3A3, "bsn,bsn->bn")[:, 0]           # (B,)
+        p_ = g(q3A1, q3y, "bsn,bs->bn")
+        q_ = g(q3A2, q3y, "bsn,bs->bn")
+        r_ = g(q3A3, q3y, "bsn,bs->bn")[:, 0]
+        b_ = g(q3A1, q3A3, "bsn,bsm->bn")
+        c_ = g(q3A2, q3A3, "bsn,bsm->bn")
+        w_ = g(q3y, q3y, "bs,bs->b")
 
     e1 = lambda x: x[:, None]                              # (B, 1)
     d3e, re, we = e1(d3), e1(r_), e1(w_)
@@ -373,47 +415,21 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
     q2p = q_ - c_ * (re * invd3)
     kap_c = c_ * invd3
 
-    n_tiles = int(math.ceil(N1 / tile))
-    N1p = n_tiles * tile
-    padc = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
-                      if N1p > N1 else x)
-    if N1p > N1:
-        A1h = padc(A1h)
-    qA1p = tuple(padc(x) for x in qA1)
-    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
-                      if N1p > N1 else x)
-    rowv = [padr(x) for x in (d1, invd1, kap_p, rho1, kap_b, d1p,
-                              invd1p, kap_pp, rho13, lo_row, up_row)]
-    stab1p = (jnp.pad(stab1, ((0, 0), (0, N1p - N1)))
-              if N1p > N1 else stab1)
-
     if pallas:
-        N2 = A2.shape[2]
-        NB = 1
-        N2_128 = int(math.ceil(N2 / 128) * 128)
-        while N2_128 // NB > colcap and NB < 8:
-            NB *= 2
-        N2B = int(math.ceil(N2_128 / NB / 128) * 128)
-        N2pb = NB * N2B
-        stab1f = stab1p.astype(jnp.float32)
+        rowv = [d1, invd1, kap_p, rho1, kap_b, d1p, invd1p, kap_pp,
+                rho13, lo_row, up_row]                     # (B, N1p)
+        stab1f = stab1.astype(jnp.float32)
         row_pack = jnp.stack(rowv + [stab1f], axis=1)  # (B, 12, N1p)
         row_pack = jnp.pad(row_pack, ((0, 0), (0, 4), (0, 0)))
         col_pack = jnp.stack([d2, q_, c_, d2p, q2p, kap_c], axis=1)
-        col_pack = jnp.pad(col_pack,
-                           ((0, 0), (0, 2), (0, N2pb - N2)))
+        col_pack = jnp.pad(col_pack, ((0, 0), (0, 2), (0, 0)))
         vox = jnp.stack([u3[:, 0], invd3[:, 0]]
                         + [jnp.zeros_like(u3[:, 0])] * 6,
                         axis=1)[:, None, :]                # (B, 1, 8)
-        # int8 [Q1 | Q2 | Q3] levels + bf16 correction operands, packed
-        # per row tile / per column block as CONTIGUOUS (B, blocks, S, d)
-        # arrays so each VMEM block is one linear HBM read
-        # (_pack_row_operands / _pack_col_operands; consumed by the
-        # in-kernel exact Gram, _gram_hi)
-        q3a = dfscan.quantize3(A1h)
-        q3b = dfscan.quantize3(A2h)
-        q123_t, a1bf_t, rabf_t = _pack_row_operands(
-            q3a, A1h.astype(jnp.bfloat16), n_tiles, tile)
-        qb3, rbbf, abbf = _pack_col_operands(q3b, NB, N2B)
+        # the int8 [Q1 | Q2 | Q3] level packs + bf16 correction operands
+        # come straight from the fused prep kernel, already in the
+        # CONTIGUOUS (B, blocks, S, d) layout (one linear HBM read per
+        # VMEM block), consumed by the in-kernel exact Gram (_gram_hi)
         # ROW TILES INNERMOST: the column-side blocks' index is constant
         # across the inner axis, so the dominant HBM traffic (the big
         # column operands) is fetched NB times per voxel, not NB*n_tiles
@@ -424,6 +440,9 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         colblk = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, c, 0, 0),
             memory_space=pltpu.VMEM)
+        if _prep_only:  # profiling: operand prep without the kernel
+            return (q123_t, a1bf_t, rabf_t, qb3, rbbf, abbf, row_pack,
+                    col_pack, vox)
         # larger (tile x N2B) cells exceed Mosaic's default 16 MB scoped-
         # VMEM cap (the int32 Gram tile alone is 9*tile*N2B*4 bytes);
         # grant headroom like row_scan_df4 — v5e cores have 128 MB VMEM
@@ -470,13 +489,27 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         if not colmin:
             return lo, up, upf
         lo_col = jnp.minimum(out2[:, :, 0].reshape(B, N2pb)[:, :N2],
-                             lo_c_sup)
+                             lo_c_sup[:, :N2])
         return lo, up, upf, lo_col
+
+    n_tiles = int(math.ceil(N1 / tile))
+    N1p = n_tiles * tile
+    if N1p > N1:
+        A1h = jnp.pad(A1h, ((0, 0), (0, 0), (0, N1p - N1)))
+    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
+    rowv = [padr(x) for x in (d1, invd1, kap_p, rho1, kap_b, d1p,
+                              invd1p, kap_pp, rho13, lo_row, up_row)]
+    stab1p = padr(stab1)
 
     cc_ = lambda x: x[:, None, :]
     d2c, qc, cc = cc_(d2), cc_(q_), cc_(c_)
     d2pc, q2pc, kapcc = cc_(d2p), cc_(q2p), cc_(kap_c)
     invd3e = invd3[:, :, None]                             # (B, 1, 1)
+    # the portable XLA body evaluates its per-tile Grams with the
+    # two-level df_gram_tile (f32 HIGHEST corrections)
+    qA1p = dfscan.quantize2(A1h)                           # padded
+    qA2 = dfscan.quantize2(A2h)
 
     def body(t):
         st = t * tile
@@ -717,7 +750,7 @@ def _rowmin4_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
 @partial(jax.jit, static_argnames=("tile", "pallas", "interpret",
                                    "colmin", "ptile", "colcap"))
 def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
-             colmin=False, ptile=128, colcap=256):
+             colmin=False, ptile=128, colcap=512):
     """f32 per-row residual intervals for [N1, N2, N3, N4] (EAR config).
 
     Per (i1, i2) point, the ns = N3*N4 (i3, i4) LDL finishes run off
@@ -736,33 +769,77 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     N2, N3, N4 = A2.shape[2], a3.shape[2], a4.shape[2]
     if pallas:
         tile = ptile
-    A1h, _ = mfn._normalize_block(A1)
-    A2h, _ = mfn._normalize_block(A2)
-    A3h, _ = mfn._normalize_block(a3)
-    A4h, _ = mfn._normalize_block(a4)
-    yh, _yn, _ys = mfn._normalize_y(y)
-    f32 = lambda x: x.astype(jnp.float32)
-    A1h, A2h, A3h, A4h, yh = map(f32, (A1h, A2h, A3h, A4h, yh))
-
     # EXACT Grams rounded once to f32 (see rowmin_3's prep note: the f32
-    # einsum Grams dominated the whole pass's error budget)
-    qA1, qA2, qA3, qA4, qy = (dfscan.quantize2(x)
-                              for x in (A1h, A2h, A3h, A4h, yh))
-    g = lambda qa, qb, c: dfscan.df_gram(qa, qb, c)[0]
-    d1 = g(qA1, qA1, "bsn,bsn->bn")
-    d2 = g(qA2, qA2, "bsn,bsn->bn")
-    d3 = g(qA3, qA3, "bsn,bsn->bn")                       # (B, N3)
-    d4 = g(qA4, qA4, "bsn,bsn->bn")                       # (B, N4)
-    p_ = g(qA1, qy, "bsn,bs->bn")
-    q_ = g(qA2, qy, "bsn,bs->bn")
-    r3 = g(qA3, qy, "bsn,bs->bn")
-    r4 = g(qA4, qy, "bsn,bs->bn")
-    b3 = g(qA1, qA3, "bsn,bsm->bnm")                      # (B, N1, N3)
-    b4 = g(qA1, qA4, "bsn,bsm->bnm")
-    c3 = g(qA2, qA3, "bsn,bsm->bnm")
-    c4 = g(qA2, qA4, "bsn,bsm->bnm")
-    g34 = g(qA3, qA4, "bsn,bsm->bnm")                     # (B, N3, N4)
-    w_ = g(qy, qy, "bs,bs->b")
+    # einsum Grams dominated the whole pass's error budget).
+    if pallas:
+        # fused prep kernel (ops/pallas_prep) — see rowmin_3: one VMEM
+        # pass per rotated block emits kernel operand packs + hoist
+        # Grams, padded (the chains below run at padded widths; padded
+        # rows/columns carry NaN/inf chains that every consumer masks)
+        from . import pallas_prep as pp
+        n_tiles4 = int(math.ceil(N1 / tile))
+        N1p4 = n_tiles4 * tile
+        NB4 = 1
+        N2_128 = int(math.ceil(N2 / 128) * 128)
+        while N2_128 // NB4 > colcap and NB4 < 16:
+            NB4 *= 2
+        N2B4 = int(math.ceil(N2_128 / NB4 / 128) * 128)
+        A3h, _ = mfn._normalize_block(a3)
+        A4h, _ = mfn._normalize_block(a4)
+        yh, _yn, _ys = mfn._normalize_y(y)
+        f32c = lambda x: x.astype(jnp.float32)
+        rhs_cols = ([f32c(yh)] + [f32c(A3h[:, :, i]) for i in range(N3)]
+                    + [f32c(A4h[:, :, i]) for i in range(N4)])
+        rhs_q, rhs_r, rhs_a, q3s = pp.pack_rhs(rhs_cols)
+        A1pz, _n1z = pp.pad_block(A1, tile)
+        A2pz, _n2z = pp.pad_block(A2, N2B4)
+        q123_tp, a1bf_tp, rabf_tp, _a1, gramA = pp.prep_block(
+            A1pz, rhs_q, rhs_r, rhs_a, tile, interpret=interpret)
+        qb3p, _x2, rbbfp, abbfp, gramB = pp.prep_block(
+            A2pz, rhs_q, rhs_r, rhs_a, N2B4, interpret=interpret)
+        d1, p_ = gramA[:, 0], gramA[:, 1]                 # (B, N1p)
+        b3 = jnp.stack([gramA[:, 2 + i] for i in range(N3)], axis=2)
+        b4 = jnp.stack([gramA[:, 2 + N3 + i] for i in range(N4)], axis=2)
+        d2, q_ = gramB[:, 0], gramB[:, 1]                 # (B, N2pb)
+        c3 = jnp.stack([gramB[:, 2 + i] for i in range(N3)], axis=2)
+        c4 = jnp.stack([gramB[:, 2 + N3 + i] for i in range(N4)], axis=2)
+        gs = _gram3_hi
+        qy3, qa3s, qa4s = q3s[0], q3s[1:1 + N3], q3s[1 + N3:]
+        stk = lambda xs, ax: jnp.stack(xs, axis=ax)
+        d3 = stk([gs(q, q, "bs,bs->b") for q in qa3s], 1)   # (B, N3)
+        d4 = stk([gs(q, q, "bs,bs->b") for q in qa4s], 1)
+        r3 = stk([gs(q, qy3, "bs,bs->b") for q in qa3s], 1)
+        r4 = stk([gs(q, qy3, "bs,bs->b") for q in qa4s], 1)
+        g34 = stk([stk([gs(q3c, q4c, "bs,bs->b") for q4c in qa4s], 1)
+                   for q3c in qa3s], 1)                     # (B, N3, N4)
+        w_ = gs(qy3, qy3, "bs,bs->b")
+    else:
+        A1h, _ = mfn._normalize_block(A1)
+        A2h, _ = mfn._normalize_block(A2)
+        A3h, _ = mfn._normalize_block(a3)
+        A4h, _ = mfn._normalize_block(a4)
+        yh, _yn, _ys = mfn._normalize_y(y)
+        f32 = lambda x: x.astype(jnp.float32)
+        A1h, A2h, A3h, A4h, yh = map(f32, (A1h, A2h, A3h, A4h, yh))
+        q3A1, q3A2, q3A3, q3A4, q3y = (dfscan.quantize3(x)
+                                       for x in (A1h, A2h, A3h, A4h, yh))
+        g = _gram3_hi
+        d1 = g(q3A1, q3A1, "bsn,bsn->bn")
+        d2 = g(q3A2, q3A2, "bsn,bsn->bn")
+        d3 = g(q3A3, q3A3, "bsn,bsn->bn")                 # (B, N3)
+        d4 = g(q3A4, q3A4, "bsn,bsn->bn")                 # (B, N4)
+        p_ = g(q3A1, q3y, "bsn,bs->bn")
+        q_ = g(q3A2, q3y, "bsn,bs->bn")
+        r3 = g(q3A3, q3y, "bsn,bs->bn")
+        r4 = g(q3A4, q3y, "bsn,bs->bn")
+        b3 = g(q3A1, q3A3, "bsn,bsm->bnm")                # (B, N1, N3)
+        b4 = g(q3A1, q3A4, "bsn,bsm->bnm")
+        c3 = g(q3A2, q3A3, "bsn,bsm->bnm")
+        c4 = g(q3A2, q3A4, "bsn,bsm->bnm")
+        g34 = g(q3A3, q3A4, "bsn,bsm->bnm")               # (B, N3, N4)
+        w_ = g(q3y, q3y, "bs,bs->b")
+    N1w = d1.shape[1]                                      # N1 or padded
+    N2w = d2.shape[1]
 
     d3e = d3.reshape(B, 1, N3, 1)
     d4e = d4.reshape(B, 1, 1, N4)
@@ -776,14 +853,14 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     for lo_s, up_s in (_sub1(d3e, r3e, w4), _sub1(d4e, r4e, w4),
                        _sub2(d3e, d4e, ge, r3e, r4e, w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
-    d2e = d2.reshape(B, N2, 1, 1)
-    q2e = q_.reshape(B, N2, 1, 1)
-    c3e = c3.reshape(B, N2, N3, 1)
+    d2e = d2.reshape(B, N2w, 1, 1)
+    q2e = q_.reshape(B, N2w, 1, 1)
+    c3e = c3.reshape(B, N2w, N3, 1)
     c4e = c4[:, :, None, :]
     # per-column lows of the block-1-free, block-2-containing supports
     # ({2}, {2,i3}, {2,i4}, {2,i3,i4}) — these pin i2, so column-band
     # selection (colmin) must see them; their up side is the floor
-    lo_c_sup = jnp.full((B, N2), jnp.inf, jnp.float32)
+    lo_c_sup = jnp.full((B, N2w), jnp.inf, jnp.float32)
     for lo_s, up_s in (_sub1(d2e, q2e, w4),
                        _sub2(d2e, d3e, c3e, q2e, r3e, w4, _TOL),
                        _sub2(d2e, d4e, c4e, q2e, r4e, w4, _TOL),
@@ -791,7 +868,7 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
                              w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
         lo_c_sup = jnp.minimum(lo_c_sup,
-                               jnp.min(lo_s.reshape(B, N2, -1), axis=2))
+                               jnp.min(lo_s.reshape(B, N2w, -1), axis=2))
 
     # ---- row-level supports {1}, {1,i3}, {1,i4}, {1,i3,i4} ----
     we2 = w_[:, None]
@@ -804,8 +881,8 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
                        _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
                        _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
                              r4e, w4, _TOL)):
-        lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, N1, -1), axis=2))
-        up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, N1, -1), axis=2))
+        lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, N1w, -1), axis=2))
+        up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, N1w, -1), axis=2))
 
     # ---- chain-prefix hoists for the per-point support enumeration ----
     NS = N3 * N4
@@ -902,48 +979,30 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
         vox += [u4[:, i3, i4], L43[:, i3, i4],
                 stab34[:, i3, i4].astype(fl)]
 
-    n_tiles = int(math.ceil(N1 / tile))
-    N1p = n_tiles * tile
-    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
-                      if N1p > N1 else x)
-    padcol = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
-                        if N1p > N1 else x)
-    A1p = padcol(A1h)
-    qA1p = tuple(padcol(x) for x in qA1)
-    rows = [padr(x) for x in rows]
-
     if pallas:
         # fused VMEM kernel: same per-point chains, the (T, N2B) support
         # tiles never touch HBM (the XLA form materializes them — measured
-        # 3x slower than even the one-pass df4 scan)
+        # 3x slower than even the one-pass df4 scan). Chain rows already
+        # sit at the prep kernel's padded width.
+        n_tiles, N1p = n_tiles4, N1p4
+        NB, N2B = NB4, N2B4
+        N2pb = NB * N2B
         nr = len(rows)
-        rows = rows + [padr(lo_r), padr(up_r)]
+        rows = rows + [lo_r, up_r]
         NR = int(math.ceil(len(rows) / 8) * 8)
         row_pack = jnp.stack(rows, axis=1)                 # (B, nr+2, N1p)
         row_pack = jnp.pad(row_pack,
                            ((0, 0), (0, NR - len(rows)), (0, 0)))
-        # 256-column blocks by default: the support-enumeration body +
-        # int8 Gram operands exceed the 16 MB VMEM budget at 512
-        # (measured 19.4 MB); larger blocks get a raised cap below
-        NB = 1
-        N2_128 = int(math.ceil(N2 / 128) * 128)
-        while N2_128 // NB > colcap and NB < 16:
-            NB *= 2
-        N2B = int(math.ceil(N2_128 / NB / 128) * 128)
-        N2pb = NB * N2B
         NC = int(math.ceil(len(cols) / 8) * 8)
-        col_pack = jnp.stack(cols, axis=1)                 # (B, nc, N2)
-        col_pack = jnp.pad(
-            col_pack, ((0, 0), (0, NC - len(cols)), (0, N2pb - N2)))
+        col_pack = jnp.stack(cols, axis=1)                 # (B, nc, N2pb)
+        col_pack = jnp.pad(col_pack, ((0, 0), (0, NC - len(cols)), (0, 0)))
         NV = int(math.ceil(len(vox) / 8) * 8)
         vox_pack = jnp.stack(vox, axis=1)[:, None, :]      # (B, 1, nv)
         vox_pack = jnp.pad(vox_pack,
                            ((0, 0), (0, 0), (0, NV - len(vox))))
-        q3a = dfscan.quantize3(A1p)
-        q3b = dfscan.quantize3(A2h)
-        q123_t, a1bf_t, rabf_t = _pack_row_operands(
-            q3a, A1p.astype(jnp.bfloat16), n_tiles, tile)
-        qb3, rbbf, abbf = _pack_col_operands(q3b, NB, N2B)
+        # operand packs come straight from the fused prep kernel
+        q123_t, a1bf_t, rabf_t = q123_tp, a1bf_tp, rabf_tp
+        qb3, rbbf, abbf = qb3p, rbbfp, abbfp
         grid = (B, NB, n_tiles)
         tiled = lambda d: pl.BlockSpec(
             (1, 1, S, d), lambda b, c, t: (b, t, 0, 0),
@@ -998,8 +1057,21 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
         if not colmin:
             return lo, up, upf
         lo_col = jnp.minimum(out2[:, :, 0].reshape(B, N2pb)[:, :N2],
-                             lo_c_sup)
+                             lo_c_sup[:, :N2])
         return lo, up, upf, lo_col
+
+    # portable XLA body: pad + two-level per-tile Grams (f32 HIGHEST
+    # corrections)
+    n_tiles = int(math.ceil(N1 / tile))
+    N1p = n_tiles * tile
+    padr = lambda x: (jnp.pad(x, ((0, 0), (0, N1p - N1)))
+                      if N1p > N1 else x)
+    padcol = lambda x: (jnp.pad(x, ((0, 0), (0, 0), (0, N1p - N1)))
+                        if N1p > N1 else x)
+    A1p = padcol(A1h)
+    rows = [padr(x) for x in rows]
+    qA1p = dfscan.quantize2(A1p)
+    qA2 = dfscan.quantize2(A2h)
 
     def body(t):
         st = t * tile

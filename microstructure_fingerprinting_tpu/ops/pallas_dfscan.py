@@ -863,7 +863,7 @@ def row_scan_df4(A1, A2, a3, a4, y, interpret=False, tile=_LANE,
     vox_pack = jnp.pad(vox_pack, ((0, 0), (0, 0), (0, NV - len(vox))))
 
     # contiguous (B, blocks, S, d) operand layout (one linear HBM read
-    # per VMEM block; cf. ops/f32scan._pack_row_operands)
+    # per VMEM block; cf. the packed layout ops/pallas_prep emits)
     t4d = lambda x: x.reshape(B, S, n_tiles, -1).transpose(0, 2, 1, 3)
     q1ab_t = jnp.concatenate(
         [t4d(qA1[0].reshape(B, S, n_tiles, tile)),
