@@ -1144,12 +1144,16 @@ def _select_in_band(lo, U, R):
 def _gather_cols(A, rows):
     """Gather columns A[b, :, rows[b]] -> (B, S, R) via a one-hot MXU
     matmul: an XLA gather on the minor (lane) axis was measured 10x
-    slower than this exact-copy matmul (one-hot entries are exact in
-    every pass of a HIGHEST f32 contraction)."""
+    slower than this exact-copy matmul. Precision.HIGH (bf16x3) is
+    EXACT here — x * 1.0 sums the three bf16 splits of x (8+8+8 >= 24
+    mantissa bits) and every other product is a true zero — at half the
+    MXU passes of HIGHEST."""
     N1 = A.shape[2]
     oh = (rows[:, None, :] == lax.broadcasted_iota(
         jnp.int32, (1, N1, 1), 1)).astype(A.dtype)          # (B, N1, R)
-    return jnp.einsum("bsn,bnr->bsr", A, oh, **_HP)
+    return jnp.einsum("bsn,bnr->bsr", A, oh,
+                      preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGH)
 
 
 @partial(jax.jit, static_argnames=("M", "R", "fused"))
