@@ -66,7 +66,7 @@ def main(num_atom=782, chunk=512, reps=5):
         lambda: f32scan.rowmin_3(A1, A2, csf_blk, y, pallas=on_tpu), reps)
     print("two-pass: rowmin  %7.1f ms" % (t_rm * 1e3))
     R = 256
-    t_sel, (rows, ok) = timed(
+    t_sel, (rows, ok, _oh) = timed(
         lambda: f32scan._select_rows(lo, up, upf, R), reps)
     n_bad = int(np.sum(~np.asarray(ok)))
     print("two-pass: select  %7.1f ms   overflow %d/%d"
@@ -105,8 +105,8 @@ def main(num_atom=782, chunk=512, reps=5):
     if on_tpu:
         from microstructure_fingerprinting_tpu.ops import pallas_dfscan \
             as pdf
-        rows4, _ok4s = f32scan._select_rows(lo4, up4, upf4, R)
-        A1s4 = f32scan._gather_cols(A1, rows4)
+        _rows4, _ok4s, oh4 = f32scan._select_rows(lo4, up4, upf4, R)
+        A1s4 = f32scan._gather_cols(A1, oh4)
         t_df4, _ = timed(
             lambda: pdf.row_scan_df4(A1s4, A2, csf_blk, ear_blk, y), reps)
         print("EAR df4 re-scan   %7.1f ms" % (t_df4 * 1e3))

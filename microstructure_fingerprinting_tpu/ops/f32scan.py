@@ -1116,11 +1116,10 @@ def _select_rows(lo, up, up_floor, R):
     included: when the block-1-free floor wins, every grid point ties at
     the floor and the reference first-minimum lands in row 0. The
     returned rows are sorted by INDEX so the df re-scan's local
-    first-minimum tie-breaking coincides with the global reference order;
-    sorting comes free by running ONE top_k on an integer key that ranks
-    in-band rows by index (then out-of-band rows by index).
+    first-minimum tie-breaking coincides with the global reference order.
     Returns (rows (B, R) int32 ascending, ok (B,) bool: False when more
-    than R - 1 rows qualify)."""
+    than R - 1 rows qualify, oh (B, N, R) f32 scatter one-hot with
+    oh[b, n, r] = [rows[b, r] == n], reusable as a gather matmul)."""
     U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
     return _select_in_band(lo, U, R)
 
@@ -1129,29 +1128,42 @@ def _select_in_band(lo, U, R):
     """Shared selection core: indices whose interval lower bound can
     still beat the global upper bound U (B, 1), index-ascending, index 0
     forced (owner of the index-free tied supports). ok is False when
-    more than R - 1 indices qualify."""
+    more than R - 1 indices qualify.
+
+    A per-index rank (in-band ascending, then out-of-band ascending as
+    filler — the permutation a top_k over those keys would produce, at a
+    fraction of its cost) is computed with two cumsums; comparing ranks
+    against the slot iota gives the scatter one-hot directly, and the
+    selected indices fall out of one tiny index @ one-hot matmul.
+    Requires N >= R (callers gate the two-pass on N > 2R).
+    Returns (sel (B, R) int32, ok (B,), oh (B, N, R) f32)."""
     N = lo.shape[1]
     in_band = lo <= U
     n_cand = jnp.sum(in_band, axis=1)
     ok = n_cand <= R - 1
-    idx = lax.broadcasted_iota(jnp.int32, lo.shape, 1)
-    key = jnp.where(in_band, idx, idx + N)
-    key = key.at[:, 0].set(-1)                             # force index 0
-    _negv, sel = lax.top_k(-key, R)  # R smallest keys, index-ascending
-    return sel.astype(jnp.int32), ok
+    ibf = in_band.astype(jnp.float32)
+    ibf = ibf.at[:, 0].set(1.0)                            # force index 0
+    c_in = jnp.cumsum(ibf, axis=1)       # inclusive in-band count (exact
+    c_oob = jnp.cumsum(1.0 - ibf, axis=1)   # f32 integers below 2^24)
+    n_in = c_in[:, -1:]
+    rank = jnp.where(ibf > 0, c_in - 1.0, n_in + c_oob - 1.0)
+    r_iota = lax.broadcasted_iota(jnp.float32, (1, 1, R), 2)
+    oh = (rank[:, :, None] == r_iota).astype(jnp.float32)   # (B, N, R)
+    nvec = jnp.broadcast_to(
+        lax.broadcasted_iota(jnp.float32, (1, N), 1), rank.shape)
+    sel = jnp.einsum("bn,bnr->br", nvec, oh,
+                     precision=jax.lax.Precision.HIGHEST)
+    return sel.astype(jnp.int32), ok, oh
 
 
-def _gather_cols(A, rows):
-    """Gather columns A[b, :, rows[b]] -> (B, S, R) via a one-hot MXU
-    matmul: an XLA gather on the minor (lane) axis was measured 10x
-    slower than this exact-copy matmul. Precision.HIGH (bf16x3) is
-    EXACT here — x * 1.0 sums the three bf16 splits of x (8+8+8 >= 24
-    mantissa bits) and every other product is a true zero — at half the
-    MXU passes of HIGHEST."""
-    N1 = A.shape[2]
-    oh = (rows[:, None, :] == lax.broadcasted_iota(
-        jnp.int32, (1, N1, 1), 1)).astype(A.dtype)          # (B, N1, R)
-    return jnp.einsum("bsn,bnr->bsr", A, oh,
+def _gather_cols(A, oh):
+    """Gather columns A[b, :, sel[b]] -> (B, S, R) via the selection's
+    scatter one-hot (B, N, R) on the MXU: an XLA gather on the minor
+    (lane) axis was measured 10x slower than this exact-copy matmul.
+    Precision.HIGH (bf16x3) is EXACT here — x * 1.0 sums the three bf16
+    splits of x (8+8+8 >= 24 mantissa bits) and every other product is a
+    true zero — at half the MXU passes of HIGHEST."""
+    return jnp.einsum("bsn,bnr->bsr", A, oh.astype(A.dtype),
                       preferred_element_type=jnp.float32,
                       precision=lax.Precision.HIGH)
 
@@ -1177,17 +1189,17 @@ def df3_twopass(A1, A2, a3, y, M=1, R=128, fused=None):
                                             colmin=True)
     else:
         lo, up, up_floor = rowmin_3(A1, A2, a3, y, pallas=bool(fused))
-    rows, ok = _select_rows(lo, up, up_floor, R)
-    A1_sel = _gather_cols(A1, rows)
+    rows, ok, oh_r = _select_rows(lo, up, up_floor, R)
+    A1_sel = _gather_cols(A1, oh_r)
     if prune_cols:
         # column-band pruning (same soundness argument as df4_twopass:
         # the winner's row and column each satisfy lo <= U, index-free
         # supports resolve to the forced index 0, index-ascending
         # subsets preserve the first-minimum tie order)
         U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
-        cols, ok_c = _select_in_band(lo_col, U, R)
+        cols, ok_c, oh_c = _select_in_band(lo_col, U, R)
         ok = ok & ok_c
-        A2_sel = _gather_cols(A2, cols)
+        A2_sel = _gather_cols(A2, oh_c)
         n2_sel = R
     else:
         A2_sel = A2
@@ -1240,13 +1252,13 @@ def df4_twopass(A1, A2, a3, a4, y, M=1, R=128, fused=None):
     else:
         lo, up, up_floor = rowmin_4(A1, A2, a3, a4, y,
                                     pallas=bool(fused))
-    rows, ok = _select_rows(lo, up, up_floor, R)
-    A1_sel = _gather_cols(A1, rows)
+    rows, ok, oh_r = _select_rows(lo, up, up_floor, R)
+    A1_sel = _gather_cols(A1, oh_r)
     if prune_cols:
         U = jnp.minimum(jnp.min(up, axis=1), up_floor)[:, None]
-        cols, ok_c = _select_in_band(lo_col, U, R)
+        cols, ok_c, oh_c = _select_in_band(lo_col, U, R)
         ok = ok & ok_c
-        A2_sel = _gather_cols(A2, cols)
+        A2_sel = _gather_cols(A2, oh_c)
         n2_sel = R
     else:
         A2_sel = A2
