@@ -445,18 +445,21 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             ok_b = pk_np[:, n_cand + C_w + 2] > 0.5
             if not ok_b.all():
                 # two-pass row-budget overflow (heavily tied voxels): re-run
-                # just those voxels with the full-grid one-pass df scan —
-                # exact selection is then unconditional. Re-solves run at
-                # the bucket's OWN batch shape so the rotation and finalize
-                # executables are reused verbatim (a smaller re-solve batch
-                # was measured to cost more in extra compiles than it saves
-                # in device work: overflow is percent-level, so the whole
-                # bucket's overflow usually fits one batch).
+                # just those voxels at a DOUBLED row budget first (covers
+                # bands up to 2R - 1 rows at a fraction of the full-grid
+                # cost — the full-grid df4 scan measured ~4 s per 64-voxel
+                # batch, the 2R two-pass ~0.1 s), then the full-grid
+                # one-pass df scan for any voxel still overflowing — exact
+                # selection is then unconditional. Chunks reuse the
+                # compiled shapes, persistent-cache warm after first use.
                 bad = np.flatnonzero(~ok_b)
                 w_b = np.array(w_b)
                 obj_b = np.array(obj_b)
                 r2_b = np.array(r2_b)
-                fb = batch
+                # overflow is rare (percent-level), so re-solves run at a
+                # small fixed batch — one cheap extra compile instead of a
+                # full-size chunk per bucket
+                fb = min(batch, 64)
 
                 def _stage_batch(sel):
                     """Rotate + stage one fb-sized re-solve batch."""
@@ -475,6 +478,48 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                              (fb, S, 1))
                     return D_f, csf_f, y_fd
 
+                def _store(sel, rows, cand_f, w_f, obj_f, r2_f):
+                    w_b[sel] = np.asarray(w_f)[rows]
+                    ind2[sel] = np.asarray(cand_f[:, 0])[rows]
+                    obj_b[sel] = np.asarray(obj_f)[rows]
+                    r2_b[sel] = np.asarray(r2_f)[rows]
+
+                R2b = 2 * (rows_R_ear if ear_on else rows_R)
+                fused_t1 = (jax.default_backend() == "tpu"
+                            and mesh is None
+                            and _FUSED_OK["df4" if ear_on else "df3"])
+                if R2b < tables_ys.shape[2]:
+                    still = []
+                    for st in range(0, bad.size, fb):
+                        sel = bad[st:st + fb]
+                        m = sel.size
+                        D_f, csf_f, y_fd = _stage_batch(sel)
+                        try:
+                            if ear_on:
+                                ear_f = jnp.broadcast_to(
+                                    ear_d[None, :, :], (fb, S, E))
+                                cand_f, _v, _q, ok_f = f32.df4_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, ear_f,
+                                    y_fd, M=1, R=R2b, fused=fused_t1)
+                            else:
+                                cand_f, _v, _q, ok_f = f32.df3_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, y_fd,
+                                    M=1, R=R2b, fused=fused_t1)
+                        except Exception as e:  # Mosaic compile guard
+                            if not fused_t1:
+                                raise
+                            _fused_fallback("df4" if ear_on else "df3",
+                                            e, "tier-1 re-solve")
+                            still.extend(bad[st:])
+                            break
+                        w_f, obj_f, r2_f = _finalize_top1(
+                            D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
+                            csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
+                        ok_np = np.asarray(ok_f)[:m]
+                        rows = np.flatnonzero(ok_np)
+                        _store(sel[ok_np], rows, cand_f, w_f, obj_f, r2_f)
+                        still.extend(sel[~ok_np])
+                    bad = np.asarray(still, dtype=np.int64)
                 for st in range(0, bad.size, fb):
                     sel = bad[st:st + fb]
                     m = sel.size
