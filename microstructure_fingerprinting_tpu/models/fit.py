@@ -478,11 +478,23 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                              (fb, S, 1))
                     return D_f, csf_f, y_fd
 
-                def _store(sel, rows, cand_f, w_f, obj_f, r2_f):
-                    w_b[sel] = np.asarray(w_f)[rows]
-                    ind2[sel] = np.asarray(cand_f[:, 0])[rows]
-                    obj_b[sel] = np.asarray(obj_f)[rows]
-                    r2_b[sel] = np.asarray(r2_f)[rows]
+                def _pull_packed(cand_f, w_f, obj_f, r2_f, ok_f=None):
+                    """ONE device->host transfer per re-solve batch (the
+                    separate cand/w/obj/r2/ok pulls each paid a tunnel
+                    round-trip; indices survive f32 exactly, < 2^24)."""
+                    parts = [cand_f[:, 0].astype(jnp.float32),
+                             w_f.astype(jnp.float32),
+                             obj_f[:, None].astype(jnp.float32),
+                             r2_f[:, None].astype(jnp.float32)]
+                    if ok_f is not None:
+                        parts.append(ok_f[:, None].astype(jnp.float32))
+                    return np.asarray(jnp.concatenate(parts, axis=1))
+
+                def _store(sel, rows, pk_f):
+                    ind2[sel] = pk_f[rows, :n_cand].astype(np.int32)
+                    w_b[sel] = pk_f[rows, n_cand:n_cand + C_w]
+                    obj_b[sel] = pk_f[rows, n_cand + C_w]
+                    r2_b[sel] = pk_f[rows, n_cand + C_w + 1]
 
                 R2b = 2 * (rows_R_ear if ear_on else rows_R)
                 fused_t1 = (jax.default_backend() == "tpu"
@@ -515,9 +527,10 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                         w_f, obj_f, r2_f = _finalize_top1(
                             D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
                             csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
-                        ok_np = np.asarray(ok_f)[:m]
+                        pk_f = _pull_packed(cand_f, w_f, obj_f, r2_f, ok_f)
+                        ok_np = pk_f[:m, -1] > 0.5
                         rows = np.flatnonzero(ok_np)
-                        _store(sel[ok_np], rows, cand_f, w_f, obj_f, r2_f)
+                        _store(sel[ok_np], rows, pk_f)
                         still.extend(sel[~ok_np])
                     bad = np.asarray(still, dtype=np.int64)
                 for st in range(0, bad.size, fb):
@@ -563,10 +576,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     w_f, obj_f, r2_f = _finalize_top1(
                         D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
                         csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
-                    w_b[sel] = np.asarray(w_f)[:m]
-                    ind2[sel] = np.asarray(cand_f[:, 0])[:m]
-                    obj_b[sel] = np.asarray(obj_f)[:m]
-                    r2_b[sel] = np.asarray(r2_f)[:m]
+                    pk_f = _pull_packed(cand_f, w_f, obj_f, r2_f)
+                    _store(sel, np.arange(m), pk_f)
             # the df quadratic form can round a noiseless voxel's residual a few
             # ulp below zero; a reported objective is never negative
             obj_b = np.maximum(obj_b, 0.0)

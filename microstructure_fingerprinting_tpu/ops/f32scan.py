@@ -253,10 +253,12 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     tA = qc - a * kap_pt
     w2 = tA * invA
     w1 = kap_pt - a * invd1t * w2
-    feas12 = stabA & (w1 > 0) & (w2 > 0)
+    # strict feasibility -> weights >= 0 wherever err12 is consumed, so
+    # the |w| sum reduces to a plain sum and the conjunction to one min
+    feas12 = stabA & (jnp.minimum(w1, w2) > 0)
     res12 = rho1t - tA * w2
     res12 = jnp.where(jnp.isnan(res12), INF, res12)
-    err12 = KER * (1.0 + jnp.abs(w1) + jnp.abs(w2))
+    err12 = KER * (1.0 + w1 + w2)
     lo = jnp.where(feas12, res12 - err12, jnp.where(stabA, INF, -KER))
     up = jnp.where(feas12, res12 + err12, INF)
 
@@ -271,8 +273,10 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     w3f = u3v - kap_bt * w1f - kapcc * w2f
     ok3 = d1pt * pivB > TOL * d1t * d2c
     tolw = TOL * invd3v * invd1pt * invB
-    feas123 = (stabB & ok3 & (w1f >= -tolw) & (w2f >= -tolw)
-               & (w3f >= -tolw))
+    # relaxed feasibility (w >= -tolw): err123 keeps the |w| form — the
+    # slightly-negative weights it admits must still inflate the radius
+    feas123 = (stabB & ok3
+               & (jnp.minimum(jnp.minimum(w1f, w2f), w3f) >= -tolw))
     res123 = rho13t - tB * w2f
     res123 = jnp.where(jnp.isnan(res123), INF, res123)
     err123 = KER * (1.0 + jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
@@ -350,9 +354,11 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         A1p, _np1 = pp.pad_block(A1, tile)
         A2p, _np2 = pp.pad_block(A2, N2B)
         q123_t, a1bf_t, rabf_t, _abf1, gramA = pp.prep_block(
-            A1p, rhs_q, rhs_r, rhs_a, tile, interpret=interpret)
+            A1p, rhs_q, rhs_r, rhs_a, tile, interpret=interpret,
+            planes="xr")
         qb3, _xbf2, rbbf, abbf, gramB = pp.prep_block(
-            A2p, rhs_q, rhs_r, rhs_a, N2B, interpret=interpret)
+            A2p, rhs_q, rhs_r, rhs_a, N2B, interpret=interpret,
+            planes="ra")
         d1, p_, b_ = gramA[:, 0], gramA[:, 1], gramA[:, 2]  # (B, N1p)
         d2, q_, c_ = gramB[:, 0], gramB[:, 1], gramB[:, 2]  # (B, N2pb)
         gs = _gram3_hi
@@ -626,11 +632,12 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     w_ = voxv(0)
 
     def fold(lo, up, z, feas_w, res, err):
-        incl = z > 0.75
-        shell = z > 0.25
-        feas = incl & feas_w
+        # z is exactly one of {0, 0.5, 1} (mins of those constants):
+        # include-and-feasible -> interval, shell (z == 0.5) -> sound
+        # [-KER, inf), exclude/infeasible -> no contribution
+        feas = (z > 0.75) & feas_w
         lo_s = jnp.where(feas, res - err,
-                         jnp.where(incl | ~shell, INF, -KER))
+                         jnp.where(z == 0.5, -KER, INF))
         lo2 = jnp.minimum(lo, lo_s)
         up2 = jnp.minimum(up, jnp.where(feas, res + err, INF))
         return lo2, up2
@@ -645,10 +652,13 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     w2 = tA * invA
     w1 = (p1 - a * w2) * invd1
     res12 = _sanit(w_ - p1 * (p1 * invd1) - tA * w2)
-    err12 = KER * (1.0 + jnp.abs(w1) + jnp.abs(w2))
+    # err radii are consumed only under feasibility (fold), where every
+    # weight is >= 0 — the |w| sums reduce to plain sums (abs-free), and
+    # the sign conjunctions to one min-chain compare
+    err12 = KER * (1.0 + w1 + w2)
     lo = jnp.full_like(a, INF)
     up = jnp.full_like(a, INF)
-    lo, up = fold(lo, up, zA, (w1 >= 0) & (w2 >= 0), res12, err12)
+    lo, up = fold(lo, up, zA, jnp.minimum(w1, w2) >= 0, res12, err12)
 
     # supports {1,2,X}: chain X -> 1 -> 2 (prefixes hoisted)
     for x in range(nx):
@@ -668,8 +678,9 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w1t = kap_ppx - ap * invd1px * w2t
         w3t = ux - L1x * w1t - kap_cx * w2t
         res3 = _sanit(rho1x - tB * w2t)
-        err3 = KER * (1.0 + jnp.abs(w1t) + jnp.abs(w2t) + jnp.abs(w3t))
-        lo, up = fold(lo, up, zB, (w1t >= 0) & (w2t >= 0) & (w3t >= 0),
+        err3 = KER * (1.0 + w1t + w2t + w3t)
+        lo, up = fold(lo, up, zB,
+                      jnp.minimum(jnp.minimum(w1t, w2t), w3t) >= 0,
                       res3, err3)
 
     # full supports {1, 2, i3, i4}: LDL finish per (i3, i4) pair
@@ -698,10 +709,10 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w4f = u4 - L14 * w1f - L24 * w2f
         w3f = u3 - L43 * w4f - L13 * w1f - kap_c3 * w2f
         resF = _sanit(rho1f - pi2 * w2f)
-        errF = KER4 * (1.0 + jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f)
-                       + jnp.abs(w4f))
+        errF = KER4 * (1.0 + w1f + w2f + w3f + w4f)
         lo, up = fold(lo, up, zF,
-                      (w1f >= 0) & (w2f >= 0) & (w3f >= 0) & (w4f >= 0),
+                      jnp.minimum(jnp.minimum(w1f, w2f),
+                                  jnp.minimum(w3f, w4f)) >= 0,
                       resF, errF)
     return lo, up
 
@@ -794,9 +805,11 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
         A1pz, _n1z = pp.pad_block(A1, tile)
         A2pz, _n2z = pp.pad_block(A2, N2B4)
         q123_tp, a1bf_tp, rabf_tp, _a1, gramA = pp.prep_block(
-            A1pz, rhs_q, rhs_r, rhs_a, tile, interpret=interpret)
+            A1pz, rhs_q, rhs_r, rhs_a, tile, interpret=interpret,
+            planes="xr")
         qb3p, _x2, rbbfp, abbfp, gramB = pp.prep_block(
-            A2pz, rhs_q, rhs_r, rhs_a, N2B4, interpret=interpret)
+            A2pz, rhs_q, rhs_r, rhs_a, N2B4, interpret=interpret,
+            planes="ra")
         d1, p_ = gramA[:, 0], gramA[:, 1]                 # (B, N1p)
         b3 = jnp.stack([gramA[:, 2 + i] for i in range(N3)], axis=2)
         b4 = jnp.stack([gramA[:, 2 + N3 + i] for i in range(N4)], axis=2)

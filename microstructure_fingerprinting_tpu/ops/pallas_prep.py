@@ -65,8 +65,9 @@ def _quant3(Xh):
 
 
 def _prep_kernel(x_ref, rhsq_ref, rhsr_ref, rhsa_ref,
-                 q123_ref, xbf_ref, rbf_ref, abf_ref, gram_ref,
-                 *, n_tiles, tile):
+                 q123_ref, *plane_refs, n_tiles, tile, planes):
+    gram_ref = plane_refs[-1]
+    plane_refs = plane_refs[:-1]
     X = x_ref[0]                                          # (S, Np) f32
     nrm = jnp.sqrt(jnp.sum(X * X, axis=0, keepdims=True))
     ok = nrm > 0
@@ -77,14 +78,14 @@ def _prep_kernel(x_ref, rhsq_ref, rhsr_ref, rhsa_ref,
     Xbf = Xh.astype(bf)
     Rbf = R.astype(bf)
     abf = a.astype(bf)
+    emitted = {"x": Xbf, "r": Rbf, "a": abf}
     for t in range(n_tiles):
         sl = slice(t * tile, (t + 1) * tile)
         q123_ref[0, t] = jnp.concatenate(
             [Q1[:, sl].astype(i8), Q2[:, sl].astype(i8),
              Q3[:, sl].astype(i8)], axis=1)
-        xbf_ref[0, t] = Xbf[:, sl]
-        rbf_ref[0, t] = Rbf[:, sl]
-        abf_ref[0, t] = abf[:, sl]
+        for ref, p in zip(plane_refs, planes):
+            ref[0, t] = emitted[p][:, sl]
 
     # ---- exact-rounded diagonal <x, x> ----
     red = lambda u, v: jnp.sum(u * v, axis=0)             # exact: < 2^24
@@ -154,20 +155,26 @@ def pack_rhs(cols):
     return rhs_q, rhs_r, rhs_a, q3s
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def prep_block(A, rhs_q, rhs_r, rhs_a, tile, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "planes"))
+def prep_block(A, rhs_q, rhs_r, rhs_a, tile, interpret=False, planes="xra"):
     """Normalize + quantize + pack + hoist-Grams for one rotated block.
 
     A (B, S, Np) f32 raw columns with Np % tile == 0 (pad with zero
     columns); rhs_* from pack_rhs. Returns
     (q123 (B, nt, S, 3*tile) int8, xbf/rbf/abf (B, nt, S, tile) bf16,
     gram (B, 16, Np) f32 — row 0 <x,x> (zero columns give 0), row 1+j
-    <x, rhs_j>).
+    <x, rhs_j>). ``planes`` selects which bf16 planes are written (subset
+    of "xra", order fixed); skipped planes return None — the row-pass
+    kernels read only two planes per side (x+r for the row block, r+a
+    for the column block), so gating the unused plane saves one
+    (B, S, Np) bf16 HBM write per block.
     """
     B, S, Np = A.shape
     assert Np % tile == 0
+    planes = "".join(p for p in "xra" if p in planes)
     n_tiles = Np // tile
-    kernel = functools.partial(_prep_kernel, n_tiles=n_tiles, tile=tile)
+    kernel = functools.partial(_prep_kernel, n_tiles=n_tiles, tile=tile,
+                               planes=planes)
     in_specs = [
         pl.BlockSpec((1, S, Np), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -178,32 +185,32 @@ def prep_block(A, rhs_q, rhs_r, rhs_a, tile, interpret=False):
         pl.BlockSpec((1, S, _LANE), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    plane_spec = pl.BlockSpec((1, n_tiles, S, tile), lambda b: (b, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    plane_shape = jax.ShapeDtypeStruct((B, n_tiles, S, tile), jnp.bfloat16)
     out_specs = [
         pl.BlockSpec((1, n_tiles, S, 3 * tile), lambda b: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_tiles, S, tile), lambda b: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_tiles, S, tile), lambda b: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_tiles, S, tile), lambda b: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        *([plane_spec] * len(planes)),
         pl.BlockSpec((1, 16, Np), lambda b: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((B, n_tiles, S, 3 * tile), jnp.int8),
-        jax.ShapeDtypeStruct((B, n_tiles, S, tile), jnp.bfloat16),
-        jax.ShapeDtypeStruct((B, n_tiles, S, tile), jnp.bfloat16),
-        jax.ShapeDtypeStruct((B, n_tiles, S, tile), jnp.bfloat16),
+        *([plane_shape] * len(planes)),
         jax.ShapeDtypeStruct((B, 16, Np), jnp.float32),
     ]
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024))
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel, grid=(B,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret, **params,
     )(A.astype(jnp.float32), rhs_q, rhs_r, rhs_a)
+    q123, gram = outs[0], outs[-1]
+    by_plane = dict(zip(planes, outs[1:-1]))
+    return (q123, by_plane.get("x"), by_plane.get("r"), by_plane.get("a"),
+            gram)
 
 
 def pad_block(A, tile):
