@@ -534,6 +534,10 @@ class MFModel(object):
                     refine=refine, ms_host=self.ms_interpolator,
                     plan_host=plan_h, topm=topm)
                 pend = (lambda r=res_now: r)
+            if VRB >= 2:
+                print("Bucket K=%d csf=%d ear=%d (%d voxels) dispatched "
+                      "in %g second(s)." % (K, has_csf, has_ear, idx.size,
+                                            time.time() - st_bucket))
             pending.append(((K, has_csf, has_ear), idx, pend, st_bucket))
 
         if VRB >= 2:
