@@ -17,10 +17,14 @@ double-float finalize, models/fit.run_bucket_fast) recovers them:
 Run:  python examples/exactness_check.py  [n_voxels]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from microstructure_fingerprinting_tpu import testing as mft
 from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast

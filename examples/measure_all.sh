@@ -1,27 +1,45 @@
 #!/bin/bash
 # One-shot TPU measurement sequence (run when the tunnel is healthy).
 # Each stage redirects to its own log under /tmp; runs are sequential
-# (one host CPU; the tunnel serializes anyway). Usage:
+# (one host CPU; the tunnel serializes anyway). The remote-attached
+# tunnel frees a client's session slot a little after the process
+# exits, so stages (a) sleep between runs and (b) retry once on the
+# "Unable to initialize backend" startup failure. Usage:
 #   bash examples/measure_all.sh [outdir]
 set -u
 OUT=${1:-/tmp/measure_r3}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-# `python examples/foo.py` puts examples/ (not the repo root) on sys.path
-export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+# the example scripts put the checkout on sys.path themselves; a
+# PYTHONPATH is NOT needed (and the repo stays out of subprocesses)
+
+run_stage() {  # name timeout cmd...
+  local name=$1 tmo=$2; shift 2
+  local log="$OUT/$name.log"
+  for attempt in 1 2; do
+    timeout "$tmo" "$@" > "$log" 2>&1 && break
+    if grep -q "Unable to initialize backend" "$log"; then
+      echo "  ($name: tunnel slot not free yet; retrying in 90 s)"
+      sleep 90
+    else
+      break
+    fi
+  done
+  sleep 60   # let the tunnel release this stage's session slot
+}
 
 echo "== exactness (both configs) =="
-timeout 1800 python -u examples/exactness_check.py > "$OUT/exactness.log" 2>&1
+run_stage exactness 1800 python -u examples/exactness_check.py
 tail -3 "$OUT/exactness.log"
 
 echo "== per-stage profile =="
-timeout 1800 python -u examples/profile_stages.py > "$OUT/profile.log" 2>&1
+run_stage profile 1800 python -u examples/profile_stages.py
 tail -15 "$OUT/profile.log"
 
 echo "== bench =="
-timeout 1800 python -u bench.py > "$OUT/bench.log" 2>&1
+run_stage bench 1800 python -u bench.py
 tail -2 "$OUT/bench.log"
 
 echo "== whole brain 100k =="
-timeout 3600 python -u examples/whole_brain.py > "$OUT/whole_brain.log" 2>&1
+run_stage whole_brain 3600 python -u examples/whole_brain.py
 tail -8 "$OUT/whole_brain.log"

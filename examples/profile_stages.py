@@ -7,12 +7,17 @@ are attributable. Prints one line per stage; all timings are medians of
 ``reps`` with a warmup, synchronized via block_until_ready.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# allow running from a source checkout without installation
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timed(fn, reps=5):

@@ -184,6 +184,26 @@ def _twopass_step3(D, csf_d, y, R, fused):
     return cand[:, 0], w, obj, r2, ok
 
 
+@partial(jax.jit, static_argnames=("R", "fused"))
+def _twopass_step4(D, csf_d, ear_d, y, R, fused):
+    """One fused chunk step of the EAR (2-fascicle+CSF+EAR) two-pass
+    production path: 4-block interval row scan -> row/column selection ->
+    df4 re-scan -> winner finalize, as a single compiled program (same
+    rationale as _twopass_step3: the stages between the kernels are
+    tiny-op heavy, and one jit removes the dispatch boundaries)."""
+    from ..ops import f32scan as f32
+    B, S = y.shape
+    E = ear_d.shape[1]
+    csf_blk = jnp.broadcast_to(csf_d[None, :, None], (B, S, 1))
+    ear_blk = jnp.broadcast_to(ear_d[None, :, :], (B, S, E))
+    cand, _vals, _ysq, ok = f32.df4_twopass(D[:, 0], D[:, 1], csf_blk,
+                                            ear_blk, y, M=1, R=R,
+                                            fused=fused)
+    w, obj, r2 = _finalize_top1(D, csf_d, ear_d, y, cand[:, 0],
+                                csf_on=True, ear_on=True, K=2)
+    return cand[:, 0], w, obj, r2, ok
+
+
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
@@ -329,9 +349,31 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             # tiles in HBM (measured 3x slower than even the one-pass df4
             # scan), so the two-pass is gated on the fused kernel.
             on_tpu = jax.default_backend() == "tpu"
-            if twopass and mesh is None and (
-                    (_TWOPASS_EAR and on_tpu and _FUSED_OK["df4"])
-                    or _TWOPASS_EAR == "force"):
+            use_tp4 = twopass and mesh is None and (
+                (_TWOPASS_EAR and on_tpu and _FUSED_OK["df4"])
+                or _TWOPASS_EAR == "force")
+            if use_tp4 and device_finalize:
+                # scan + finalize as ONE compiled step (mirrors the
+                # df3 path's _twopass_step3)
+                fused4 = on_tpu and _FUSED_OK["df4"]
+                try:
+                    c0, w_c, obj_c, r2_c, okf = _twopass_step4(
+                        D, csf_d, ear_d, yy_c, rows_R_ear, fused=fused4)
+                except Exception as e:  # Mosaic compile guard
+                    if not fused4:
+                        raise
+                    _fused_fallback("df4", e, "EAR two-pass")
+                    # the XLA two-pass row pass materializes its support
+                    # tiles in HBM (3x slower than the one-pass scan and
+                    # a far larger compile) — degrade straight to the
+                    # one-pass df4 scan + the shared finalize below
+                    cand2, res2, _ysq = dfscan.df4_candidates(
+                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
+                    okf = None
+                else:
+                    fin_d.append((c0, w_c, obj_c, r2_c, okf))
+                    continue
+            elif use_tp4:
                 fused4 = on_tpu and _FUSED_OK["df4"]
                 try:
                     cand2, res2, _ysq, okf = f32.df4_twopass(
@@ -341,10 +383,6 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     if not fused4:
                         raise
                     _fused_fallback("df4", e, "EAR two-pass")
-                    # the XLA two-pass row pass materializes its support
-                    # tiles in HBM (3x slower than the one-pass scan and
-                    # a far larger compile) — degrade straight to the
-                    # one-pass df4 scan
                     cand2, res2, _ysq = dfscan.df4_candidates(
                         D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
                     okf = None
