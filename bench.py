@@ -3,7 +3,9 @@
 Workload: the reference's flagship configuration — 2 rotated fascicle
 sub-dictionaries + CSF on a 552-sequence dense multi-shell protocol with 782
 atoms per fascicle (dicsizes [782, 782, 1]; reference mf_utils.py:462-465) —
-run through the fused rotation + Gram + candidate-scan device step.
+run through the fused rotation + Gram + candidate-scan device step. The EAR
+bucket (dicsizes [782, 782, 1, 10]; the UK-Biobank configuration of
+reference mf.py:922-934) is reported as a secondary key.
 
 Baseline: an optimized CPU implementation of the reference algorithm
 (BLAS Gram + fully vectorized closed-form candidate evaluation in NumPy
@@ -11,81 +13,114 @@ float64 — strictly faster than the reference's scalar Numba loops on this
 machine, so `vs_baseline` is conservative). Measured on a few voxels and
 extrapolated.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the result as ONE JSON line {"metric", "value", "unit",
+"vs_baseline", ...}. The line is printed TWICE on a full run: once right
+after the main-bucket measurement (so a driver timeout can never erase the
+headline number) and once merged with the EAR measurement; parsers taking
+either the first or the last JSON line get a valid record. Progress goes
+to stderr. The EAR phase is skipped when the `MF_BENCH_BUDGET` wall-clock
+budget (default 480 s) is nearly exhausted — cold-compile of the EAR
+programs is the longest pole and must never time the whole bench out.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+T0 = time.time()
 
 NUM_ATOM = 782
 N_VOX_BATCH = 2048
 N_BATCHES = 5
 CHUNK = 512
+BUDGET_S = float(os.environ.get("MF_BENCH_BUDGET", 480))
 
 
-def _tpu_throughput(wl):
+def _log(msg):
+    print("[bench %6.1fs] %s" % (time.time() - T0, msg), file=sys.stderr,
+          flush=True)
+
+
+def _emit(vox_per_s, base, ear_vox_per_s=None):
+    rec = {
+        "metric": "fit_throughput_2fasc_csf_552seq_782atoms",
+        "value": round(vox_per_s, 2),
+        "unit": "voxels/sec/chip",
+        "vs_baseline": round(vox_per_s / base, 2),
+        "selection": "exact-f64-grade (double-float scan)",
+    }
+    if ear_vox_per_s is not None:
+        rec["ear_bucket_value"] = round(ear_vox_per_s, 2)
+    print(json.dumps(rec), flush=True)
+
+
+def _make_ear(wl):
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    sch = wl["sch_mat"]
+    TE, b = sch[:, 6], b_values(sch)
+    Dear = np.linspace(0.8e-9, 2.6e-9, 10)
+    sig_ear = np.exp(-TE / 0.8)[:, None] * np.exp(-b[:, None] * Dear[None])
+    n_ear = N_VOX_BATCH // 4
+    y_ear = wl["y"][:n_ear] + 35 * sig_ear[:, 4][None, :]
+    return sig_ear, y_ear
+
+
+def _measure_main(wl, rotator, health):
     """Throughput of the production fit path: grouped-matmul rotation +
-    double-float candidate scan (exact f64-grade selection) + float64
-    depth-adaptive host re-scoring (models/fit.run_bucket_fast — what
+    double-float candidate scan (exact f64-grade selection) on the
+    2-fascicle + CSF bucket (models/fit.run_bucket_fast — what
     MFModel.fit uses on TPU)."""
-    import jax
     from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
-
-    from microstructure_fingerprinting_tpu.ops import interp as mfi
     ms, plan = wl["msinterp"], wl["plan"]
     _xs, ys_t, _cnt = ms.device_tables()
     peaks = wl["peaks"].reshape(N_VOX_BATCH, 6)
-    y = wl["y"]
-    interpret = jax.default_backend() != "tpu"
-    rotator = mfi.make_grouped_rotation_paired(ms, plan)  # built once per fit
 
     def step(defer=False):
-        return run_bucket_fast(ms, plan, ys_t, peaks, y, wl["sig_csf"],
-                               2, True, batch=CHUNK, topm=16,
-                               interpret=interpret, rotator=rotator,
-                               defer=defer)
+        return run_bucket_fast(ms, plan, ys_t, peaks, wl["y"],
+                               wl["sig_csf"], 2, True, batch=CHUNK,
+                               topm=16, rotator=rotator, defer=defer,
+                               health=health)
 
-    step()  # compile + warm
+    step()  # compile (cache-hit after prewarm) + warm
+    _log("main bucket warm; measuring")
     # cross-bucket pipelining, as MFModel.fit runs it: all buckets'
     # host->device pushes and device work are dispatched up front
     # (deferred), then pulled in order — bucket N+1's push/compute
     # overlaps bucket N's pull. Timed over the whole pipelined run.
     t0 = time.time()
     pend = [step(defer=True) for _ in range(N_BATCHES)]
-    out = None
     for fin in pend:
-        out = fin()
-    vox_per_s = N_BATCHES * N_VOX_BATCH / (time.time() - t0)
+        fin()
+    return N_BATCHES * N_VOX_BATCH / (time.time() - t0)
 
-    # EAR bucket (2 fascicles + CSF + EAR, dicsizes [N, N, 1, 10]): the
-    # compensated 4-block sweep scan; reported as a secondary key
-    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+
+def _measure_ear(wl, rotator, health, sig_ear, y_ear):
+    """EAR bucket (2 fascicles + CSF + EAR, dicsizes [N, N, 1, 10]):
+    the fused two-pass 4-block scan."""
     from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
-    sch = wl["sch_mat"]
-    TE, b = sch[:, 6], b_values(sch)
-    Dear = np.linspace(0.8e-9, 2.6e-9, 10)
-    sig_ear = np.exp(-TE / 0.8)[:, None] * np.exp(-b[:, None] * Dear[None])
-    n_ear = N_VOX_BATCH // 4
-    y_ear = y[:n_ear] + 35 * sig_ear[:, 4][None, :]
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    n_ear = y_ear.shape[0]
+    peaks = wl["peaks"].reshape(N_VOX_BATCH, 6)[:n_ear]
 
     def step_ear(defer=False):
-        return run_bucket_fast(ms, plan, ys_t, peaks[:n_ear], y_ear,
-                               wl["sig_csf"], 2, True, batch=CHUNK, topm=16,
-                               interpret=interpret, rotator=rotator,
-                               sig_ear=sig_ear, ear_on=True, defer=defer)
+        return run_bucket_fast(ms, plan, ys_t, peaks, y_ear,
+                               wl["sig_csf"], 2, True, batch=CHUNK,
+                               topm=16, rotator=rotator,
+                               sig_ear=sig_ear, ear_on=True, defer=defer,
+                               health=health)
 
-    step_ear()  # compile + warm
-    # pipelined, as MFModel.fit dispatches buckets (defer + pull in order)
+    step_ear()  # compile (cache-hit after prewarm) + warm
+    _log("EAR bucket warm; measuring")
     n_rep = max(N_BATCHES - 2, 2)
     t0 = time.time()
-    pend_e = [step_ear(defer=True) for _ in range(n_rep)]
-    for fin in pend_e:
+    pend = [step_ear(defer=True) for _ in range(n_rep)]
+    for fin in pend:
         fin()
-    ear_vox_per_s = n_rep * n_ear / (time.time() - t0)
-    return vox_per_s, ear_vox_per_s, out
+    return n_rep * n_ear / (time.time() - t0)
 
 
 def _cpu_reference_throughput(wl, n_probe=3):
@@ -106,7 +141,6 @@ def _cpu_reference_throughput(wl, n_probe=3):
         D1 = np.asarray(D1, dtype=np.float64)
         D2 = np.asarray(D2, dtype=np.float64)
         # Gram via BLAS
-        G12 = D1.T @ D2
         a11 = np.einsum("si,si->i", D1, D1)
         a22 = np.einsum("si,si->i", D2, D2)
         a33 = float(sig_csf @ sig_csf)
@@ -119,7 +153,7 @@ def _cpu_reference_throughput(wl, n_probe=3):
         # vectorized 3-var Cramer over the full N1 x N2 grid (i3 fixed)
         A11 = a11[:, None]
         A22 = a22[None, :]
-        A12 = G12
+        A12 = D1.T @ D2
         A13_ = A13[:, None]
         A23_ = A23[None, :]
         Y1_ = Y1[:, None]
@@ -148,18 +182,39 @@ def _cpu_reference_throughput(wl, n_probe=3):
 def main():
     import microstructure_fingerprinting_tpu as mf
     from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models import fit as fit_mod
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
     mf.enable_compile_cache()
+    _log("synthesizing workload")
     wl = mft.make_fit_workload(num_atom=NUM_ATOM, n_vox=N_VOX_BATCH)
-    vox_per_s, ear_vox_per_s, _ = _tpu_throughput(wl)
+    sig_ear, y_ear = _make_ear(wl)
+    _log("CPU reference baseline")
     base = _cpu_reference_throughput(wl)
-    print(json.dumps({
-        "metric": "fit_throughput_2fasc_csf_552seq_782atoms",
-        "value": round(vox_per_s, 2),
-        "unit": "voxels/sec/chip",
-        "vs_baseline": round(vox_per_s / base, 2),
-        "ear_bucket_value": round(ear_vox_per_s, 2),
-        "selection": "exact-f64-grade (double-float scan)",
-    }))
+    _log("baseline %.1f vox/s; prewarming device programs" % base)
+
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    health = fit_mod.KernelHealth()
+    rotator = mfi.make_grouped_rotation_paired(ms, plan)
+    # both buckets' chunk + overflow-tier programs compile now, in the
+    # fixed order that makes every cache key reproducible across
+    # processes — a second bench run (the driver's) starts fully warm
+    fit_mod.prewarm_fast_programs(
+        ms, plan, ys_t, wl["sig_csf"], sig_ear,
+        [(2, True, False), (2, True, True)], batch=CHUNK,
+        rotator=rotator, health=health, verbose=2)
+    _log("prewarm done")
+
+    vox_per_s = _measure_main(wl, rotator, health)
+    _emit(vox_per_s, base)          # headline lands before any EAR work
+    _log("main %.1f vox/s" % vox_per_s)
+
+    if time.time() - T0 > BUDGET_S - 60:
+        _log("budget nearly exhausted; skipping the EAR measurement")
+        return
+    ear_vox_per_s = _measure_ear(wl, rotator, health, sig_ear, y_ear)
+    _log("ear %.1f vox/s" % ear_vox_per_s)
+    _emit(vox_per_s, base, ear_vox_per_s)
 
 
 if __name__ == "__main__":

@@ -36,6 +36,11 @@ class SolverConfig:
     # ear-dominant voxels tie more rows
     twopass_rows: int = 128
     twopass_rows_ear: int = 256
+    # EAR 4-block two-pass mode: "auto" enables it on the TPU backend
+    # (where the fused Pallas row pass exists), "always" forces it on any
+    # backend (CI coverage of the production composition via the XLA row
+    # pass), "off" uses the one-pass df4 scan
+    twopass_ear_mode: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,6 +20,7 @@ specialized XLA programs instead of data-dependent branches.
 """
 
 import math
+import time
 import warnings
 from functools import partial
 
@@ -33,23 +34,26 @@ from ..ops import interp as mfi
 from ..ops import nnls as mfn
 
 
-# EAR (4-block) two-pass: f32 row pass + fused df re-scan (ops/f32scan).
-# True = on for the TPU backend; "force" = on for any backend with the
-# XLA kernels (CI coverage of the production composition); False = off.
-_TWOPASS_EAR = True
+class KernelHealth:
+    """Pallas-kernel health per scan family, scoped to one model/fit.
 
-# Pallas-kernel health per scan family. A Mosaic compile failure (e.g. a
-# toolchain regression on the remote compile service) must degrade the
-# bucket to the XLA kernels — same selection, slower — not kill the fit;
-# set to False on first failure so later chunks skip the broken compile.
-_FUSED_OK = {"df3": True, "df4": True}
+    A Mosaic compile failure (e.g. a toolchain regression on the remote
+    compile service) must degrade the bucket to the XLA kernels — same
+    selection, slower — not kill the fit. The first failure marks the
+    family unhealthy so later chunks of the same fit skip the broken
+    compile. ``MFModel`` holds one instance per model; standalone
+    ``run_bucket_fast`` calls get a fresh one per call, so degradation
+    never leaks across unrelated fits (it used to be a process-global).
+    """
 
+    def __init__(self):
+        self.ok = {"df3": True, "df4": True}
 
-def _fused_fallback(key, exc, what):
-    warnings.warn(
-        "fused %s kernels unavailable (%s: %s); falling back to the XLA "
-        "scan for this process" % (what, type(exc).__name__, exc))
-    _FUSED_OK[key] = False
+    def fail(self, key, exc, what):
+        warnings.warn(
+            "fused %s kernels unavailable (%s: %s); falling back to the "
+            "XLA scan for this fit" % (what, type(exc).__name__, exc))
+        self.ok[key] = False
 
 
 def _r_squared(y, y_rec):
@@ -207,7 +211,7 @@ def _twopass_step4(D, csf_d, ear_d, y, R, fused):
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
-                    device_finalize=None, defer=False):
+                    device_finalize=None, defer=False, health=None):
     """Fast path for the 1- and 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
@@ -246,6 +250,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     from ..parallel import mesh as pmesh
     from . import refine as refine_mod
     del interpret
+    if health is None:
+        health = KernelHealth()
     if device_finalize is None:
         device_finalize = jax.default_backend() == "tpu"
     # two-pass exact scan (f32 row pass + df re-scan of the top rows):
@@ -254,6 +260,10 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     # (device finalize), so the pool depth stays 1.
     rows_R = config.DEFAULTS["solver"].twopass_rows
     rows_R_ear = config.DEFAULTS["solver"].twopass_rows_ear
+    # EAR (4-block) two-pass mode: "auto" = on for the TPU backend,
+    # "always" = on for any backend with the XLA kernels (CI coverage of
+    # the production composition), "off" = one-pass df4 scan
+    tp_ear_mode = config.DEFAULTS["solver"].twopass_ear_mode
     n_atom_rot = tables_ys.shape[2]
     twopass = (device_finalize and K == 2
                and n_atom_rot > 2 * rows_R)
@@ -325,10 +335,16 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             pk_c = pmesh.shard_batch(mesh, pk_c)
             yy_c = pmesh.shard_batch(mesh, yy_c)
         D = rotator(tables_ys, pk_c)
-        csf_blk = (jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
-                   if csf_on else None)
-        ear_blk = (jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
-                   if ear_on else None)
+
+        # the broadcast compartment blocks are only consumed by the
+        # non-fused branches (the fused two-pass steps rebuild their own
+        # broadcasts inside the jit) — build them lazily at point of use
+        def mk_csf_blk():
+            return jnp.broadcast_to(csf_d[None, :, None], (batch, S, 1))
+
+        def mk_ear_blk():
+            return jnp.broadcast_to(ear_d[None, :, :], (batch, S, E))
+
         okf = None
         if K == 1:
             # [N, 1] / [N, 1, E] blocks: the CSF column is the scan's
@@ -338,57 +354,47 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             # the CSF index being constant)
             if ear_on:
                 cand2, res2, _ysq = dfscan.df3_candidates(
-                    D[:, 0], ear_blk, csf_blk, yy_c, M=pool)
+                    D[:, 0], mk_ear_blk(), mk_csf_blk(), yy_c, M=pool)
             else:
                 cand2, res2, _ysq = dfscan.df2_candidates(
-                    D[:, 0], csf_blk, yy_c, M=pool)
+                    D[:, 0], mk_csf_blk(), yy_c, M=pool)
         elif ear_on:
             # EAR two-pass: Pallas f32 interval row pass (support
             # enumeration with three-zone guards) + df4 re-scan of the
             # top rows. The XLA row-pass form materializes its support
             # tiles in HBM (measured 3x slower than even the one-pass df4
-            # scan), so the two-pass is gated on the fused kernel.
+            # scan), so the two-pass is gated on the fused kernel. The
+            # two-pass requires device_finalize (``twopass`` implies it).
             on_tpu = jax.default_backend() == "tpu"
             use_tp4 = twopass and mesh is None and (
-                (_TWOPASS_EAR and on_tpu and _FUSED_OK["df4"])
-                or _TWOPASS_EAR == "force")
-            if use_tp4 and device_finalize:
+                (tp_ear_mode == "auto" and on_tpu and health.ok["df4"])
+                or tp_ear_mode == "always")
+            if use_tp4:
                 # scan + finalize as ONE compiled step (mirrors the
                 # df3 path's _twopass_step3)
-                fused4 = on_tpu and _FUSED_OK["df4"]
+                fused4 = on_tpu and health.ok["df4"]
                 try:
                     c0, w_c, obj_c, r2_c, okf = _twopass_step4(
                         D, csf_d, ear_d, yy_c, rows_R_ear, fused=fused4)
                 except Exception as e:  # Mosaic compile guard
                     if not fused4:
                         raise
-                    _fused_fallback("df4", e, "EAR two-pass")
+                    health.fail("df4", e, "EAR two-pass")
                     # the XLA two-pass row pass materializes its support
                     # tiles in HBM (3x slower than the one-pass scan and
                     # a far larger compile) — degrade straight to the
                     # one-pass df4 scan + the shared finalize below
                     cand2, res2, _ysq = dfscan.df4_candidates(
-                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
+                        D[:, 0], D[:, 1], mk_csf_blk(), mk_ear_blk(),
+                        yy_c, M=pool)
                     okf = None
                 else:
                     fin_d.append((c0, w_c, obj_c, r2_c, okf))
                     continue
-            elif use_tp4:
-                fused4 = on_tpu and _FUSED_OK["df4"]
-                try:
-                    cand2, res2, _ysq, okf = f32.df4_twopass(
-                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool,
-                        R=rows_R_ear, fused=fused4)
-                except Exception as e:  # Mosaic compile guard
-                    if not fused4:
-                        raise
-                    _fused_fallback("df4", e, "EAR two-pass")
-                    cand2, res2, _ysq = dfscan.df4_candidates(
-                        D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
-                    okf = None
             else:
                 cand2, res2, _ysq = dfscan.df4_candidates(
-                    D[:, 0], D[:, 1], csf_blk, ear_blk, yy_c, M=pool)
+                    D[:, 0], D[:, 1], mk_csf_blk(), mk_ear_blk(), yy_c,
+                    M=pool)
         elif csf_on:
             n_at_ax = (dict(mesh.shape).get("atoms", 1)
                        if mesh is not None else 1)
@@ -400,7 +406,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 # (parallel/mesh.sharded_df3_candidates)
                 A2_s = pmesh.shard_atoms(mesh, D[:, 1])
                 cand2, res2, _ysq = pmesh.sharded_df3_candidates(
-                    mesh, D[:, 0], A2_s, csf_blk, yy_c, M=pool)
+                    mesh, D[:, 0], A2_s, mk_csf_blk(), yy_c, M=pool)
             elif twopass:
                 # two-pass exact scan: cheap f32 row minima select the
                 # top-R candidate rows, the double-float scan re-ranks
@@ -409,38 +415,38 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 # the full grid after the pull. Scan + finalize run as
                 # ONE compiled step.
                 fused3 = (jax.default_backend() == "tpu"
-                          and mesh is None and _FUSED_OK["df3"])
+                          and mesh is None and health.ok["df3"])
                 try:
                     c0, w_c, obj_c, r2_c, okf = _twopass_step3(
                         D, csf_d, yy_c, rows_R, fused=fused3)
                 except Exception as e:  # Mosaic compile guard
                     if not fused3:
                         raise
-                    _fused_fallback("df3", e, "two-pass")
+                    health.fail("df3", e, "two-pass")
                     c0, w_c, obj_c, r2_c, okf = _twopass_step3(
                         D, csf_d, yy_c, rows_R, fused=False)
                 fin_d.append((c0, w_c, obj_c, r2_c, okf))
                 continue
             elif (jax.default_backend() == "tpu" and mesh is None
-                  and _FUSED_OK["df3"]):
+                  and health.ok["df3"]):
                 # fused one-pass kernel: int8 Gram + compensated chain in
                 # VMEM (the pre-two-pass production path; kept for small
                 # dictionaries below the two-pass row-budget cutoff)
                 from ..ops import pallas_dfscan as pdf
                 try:
                     rr, ri, _ysq = pdf.row_scan_df3(D[:, 0], D[:, 1],
-                                                    csf_blk, yy_c)
+                                                    mk_csf_blk(), yy_c)
                 except Exception as e:  # Mosaic compile guard
-                    _fused_fallback("df3", e, "one-pass")
+                    health.fail("df3", e, "one-pass")
                     cand2, res2, _ysq = dfscan.df3_candidates(
-                        D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
+                        D[:, 0], D[:, 1], mk_csf_blk(), yy_c, M=pool)
                 else:
                     cand2, res2 = pdf.candidates_from_rows(
                         rr, ri, pool,
                         segments=pdf.n_segments(D.shape[3]))
             else:
                 cand2, res2, _ysq = dfscan.df3_candidates(
-                    D[:, 0], D[:, 1], csf_blk, yy_c, M=pool)
+                    D[:, 0], D[:, 1], mk_csf_blk(), yy_c, M=pool)
         else:
             cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
                                                       yy_c, M=pool)
@@ -537,7 +543,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 R2b = 2 * (rows_R_ear if ear_on else rows_R)
                 fused_t1 = (jax.default_backend() == "tpu"
                             and mesh is None
-                            and _FUSED_OK["df4" if ear_on else "df3"])
+                            and health.ok["df4" if ear_on else "df3"])
                 if R2b < tables_ys.shape[2]:
                     still = []
                     for st in range(0, bad.size, fb):
@@ -558,7 +564,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                         except Exception as e:  # Mosaic compile guard
                             if not fused_t1:
                                 raise
-                            _fused_fallback("df4" if ear_on else "df3",
+                            health.fail("df4" if ear_on else "df3",
                                             e, "tier-1 re-solve")
                             still.extend(bad[st:])
                             break
@@ -579,7 +585,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                         ear_f = jnp.broadcast_to(ear_d[None, :, :],
                                                  (fb, S, E))
                         fused_fg = (jax.default_backend() == "tpu"
-                                    and mesh is None and _FUSED_OK["df4"])
+                                    and mesh is None and health.ok["df4"])
                         if fused_fg:
                             # full-grid fused df4 (no pruning): ~5x the
                             # XLA sweep's throughput on the overflow
@@ -594,7 +600,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                     segments_total=pdf.n_segments_df4(
                                         D_f.shape[3]))
                             except Exception as e:  # Mosaic compile guard
-                                _fused_fallback("df4", e,
+                                health.fail("df4", e,
                                                 "overflow re-solve")
                                 fused_fg = False
                         if not fused_fg:
@@ -717,6 +723,205 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
 
 
     return _finish if defer else _finish()
+
+#: shapes already prewarmed in this process — a timing-only cache (skips
+#: re-dispatching warmup buckets whose programs the jit cache already
+#: holds); never changes behavior or results.
+_PREWARM_DONE = set()
+
+
+def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
+                          buckets, batch, rotator=None, health=None,
+                          verbose=0):
+    """Trace and compile every fast-path bucket program up front.
+
+    Two cold-start problems are solved at once:
+
+    * The (otherwise lazily compiled) overflow-tier re-solve programs —
+      reached only when a pulled result shows a row-budget overflow —
+      are compiled here eagerly, so no multi-minute compile lands in the
+      middle of the pull/refine pipeline.
+
+    * The persistent compilation cache (enable_compile_cache) only hits
+      across processes when the serialized module is bit-identical, and
+      the Mosaic kernel payloads embedded in the fused scans depend on
+      MLIR-context state mutated by earlier lowerings AND by device
+      executions still in flight while a later kernel traces (verified
+      empirically: lowering the same kernels in a fixed order with no
+      executions pending reproduces every cache key across processes,
+      while interleaving multi-second executions with traces — what a
+      naive warm-by-running loop does — re-randomizes them). So this
+      runs in two phases: ALL programs are traced first via ``.lower()``
+      (pure tracing, nothing in flight), then compiled from the captured
+      lowerings. Repeat runs (the driver's benchmark, a user refitting
+      the same protocol) therefore hit the disk cache instead of
+      recompiling ~4 minutes of programs; the jit call path reuses the
+      AOT-compiled executables (re-trace only, ~1 s per program).
+
+    The reference has no compile phase at all (Numba kernels cache
+    per-machine, mf_utils.py:218-224), so cold-start parity rests on
+    this plus the persistent XLA cache.
+
+    No-op on non-TPU backends and for shape/config sets already warmed
+    in this process. Serial on purpose — do NOT parallelize: thread
+    interleaving would re-randomize the trace order (and the benchmark
+    host has a single CPU core anyway).
+    """
+    from ..ops import dfscan
+    from ..ops import f32scan as f32
+    from ..ops import pallas_dfscan as pdf
+    if jax.default_backend() != "tpu":
+        return
+    rows_R = config.DEFAULTS["solver"].twopass_rows
+    rows_R_ear = config.DEFAULTS["solver"].twopass_rows_ear
+    S = int(np.asarray(plan_host.gdir).shape[0])
+    N = int(tables_ys.shape[2])
+    dt = tables_ys.dtype
+    fb = min(batch, 64)
+    if rotator is None:
+        rotator = mfi.make_grouped_rotation_paired(ms_host, plan_host)
+    if isinstance(rotator, tuple):
+        rotator = rotator[0]
+
+    def sds(*shape):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    def isds(*shape):
+        return jax.ShapeDtypeStruct(shape, jnp.int32)
+
+    n_atom_big = N > 2 * rows_R   # mirrors run_bucket_fast's twopass gate
+    plans = []                    # fixed-order (key, label, lower_thunk)
+    for (K, csf_on, ear_on) in sorted(buckets):
+        E = int(np.asarray(sig_ear).shape[1]) if ear_on else 0
+        base = (tables_ys.shape, S, K, bool(csf_on), bool(ear_on), E,
+                batch, rows_R, rows_R_ear)
+
+        def add(label, thunk, base=base):
+            plans.append((base + (label,), label, thunk))
+
+        add("rotate:%d" % K,
+            lambda K=K: rotator.lower(tables_ys, sds(batch, K, 3)))
+        if K == 2 and csf_on and n_atom_big and fb != batch:
+            add("rotate_fb", lambda: rotator.lower(tables_ys,
+                                                   sds(fb, 2, 3)))
+        if K == 2 and csf_on and ear_on and n_atom_big:
+            add("step4", lambda E=E: _twopass_step4.lower(
+                sds(batch, 2, S, N), sds(S), sds(S, E), sds(batch, S),
+                R=rows_R_ear, fused=True))
+            add("tier4", lambda E=E: f32.df4_twopass.lower(
+                sds(fb, S, N), sds(fb, S, N), sds(fb, S, 1), sds(fb, S, E),
+                sds(fb, S), M=1, R=2 * rows_R_ear, fused=True))
+            add("grid4", lambda E=E: pdf.row_scan_df4.lower(
+                sds(fb, S, N), sds(fb, S, N), sds(fb, S, 1), sds(fb, S, E),
+                sds(fb, S)))
+            add("fin4", lambda E=E: _finalize_top1.lower(
+                sds(fb, 2, S, N), sds(S), sds(S, E), sds(fb, S),
+                isds(fb, 3), csf_on=True, ear_on=True, K=2))
+        elif K == 2 and csf_on and n_atom_big:
+            add("step3", lambda: _twopass_step3.lower(
+                sds(batch, 2, S, N), sds(S), sds(batch, S),
+                R=rows_R, fused=True))
+            add("tier3", lambda: f32.df3_twopass.lower(
+                sds(fb, S, N), sds(fb, S, N), sds(fb, S, 1), sds(fb, S),
+                M=1, R=2 * rows_R, fused=True))
+            add("grid3", lambda: pdf.row_scan_df3.lower(
+                sds(fb, S, N), sds(fb, S, N), sds(fb, S, 1), sds(fb, S)))
+            add("fin3", lambda: _finalize_top1.lower(
+                sds(fb, 2, S, N), sds(S), None, sds(fb, S),
+                isds(fb, 2), csf_on=True, ear_on=False, K=2))
+        elif K == 1 and csf_on and ear_on:
+            add("scan13", lambda E=E: dfscan.df3_candidates.lower(
+                sds(batch, S, N), sds(batch, S, E), sds(batch, S, 1),
+                sds(batch, S), M=1))
+            add("fin13", lambda E=E: _finalize_top1.lower(
+                sds(batch, 1, S, N), sds(S), sds(S, E), sds(batch, S),
+                isds(batch, 3), csf_on=True, ear_on=True, K=1))
+        elif K == 1 and csf_on:
+            add("scan12", lambda: dfscan.df2_candidates.lower(
+                sds(batch, S, N), sds(batch, S, 1), sds(batch, S), M=1))
+            add("fin12", lambda: _finalize_top1.lower(
+                sds(batch, 1, S, N), sds(S), None, sds(batch, S),
+                isds(batch, 2), csf_on=True, ear_on=False, K=1))
+        elif K == 2 and not csf_on and not ear_on:
+            add("scan22", lambda: dfscan.df2_candidates.lower(
+                sds(batch, S, N), sds(batch, S, N), sds(batch, S), M=1))
+            add("fin22", lambda: _finalize_top1.lower(
+                sds(batch, 2, S, N), sds(S), None, sds(batch, S),
+                isds(batch, 2), csf_on=False, ear_on=False, K=2))
+
+    jobs = [(key, label, thunk) for key, label, thunk in plans
+            if key not in _PREWARM_DONE]
+    if not jobs:
+        return
+    st = time.time()
+    errs = []
+    lowered = []
+    for key, label, thunk in jobs:     # phase 1: trace, nothing in flight
+        try:
+            lowered.append((key, label, thunk()))
+        except Exception as e:         # warmup must never fail a fit
+            errs.append((label, e))
+    for key, label, lo in lowered:     # phase 2: compile (disk-cache aware)
+        try:
+            lo.compile()
+            _PREWARM_DONE.add(key)
+        except Exception as e:
+            errs.append((label, e))
+    if verbose >= 2:
+        print("Prewarmed %d program(s) in %g second(s)%s."
+              % (len(lowered), time.time() - st,
+                 " (%d warmup failure(s) ignored: %s)"
+                 % (len(errs), ", ".join(l for l, _e in errs))
+                 if errs else ""))
+
+
+def run_bucket_trivial(y, sig_csf, sig_ear, csf_on, ear_on):
+    """Closed-form host solve for fascicle-free (K=0) buckets.
+
+    A voxel with no fascicle compartments has at most 1 + num_ear
+    candidate columns (the CSF column and/or the EAR block; reference
+    mf.py:401-408), so the exhaustive NNLS degenerates to a tiny dense
+    subproblem: the vectorized 1-variable form the reference itself
+    documents (mf_utils.py:234-241), or a 1 x num_ear 2-variable Cramer
+    grid. Solving it in float64 NumPy on the host matches the reference
+    bit-for-bit and avoids compiling a device program for microseconds
+    of work (the generic bucket's XLA program took minutes to
+    first-compile for what is a closed-form matvec).
+
+    Returns NumPy (w, ind, min_obj, mse, r2) like run_bucket, with
+    C = csf_on + ear_on compartment columns.
+    """
+    from ..ops import nnls as nnls_mod
+    y64 = np.asarray(y, dtype=np.float64)
+    n, S = y64.shape
+    cols = []
+    sizes = []
+    if csf_on:
+        cols.append(np.asarray(sig_csf, dtype=np.float64)[:, None])
+        sizes.append(1)
+    if ear_on:
+        ear64 = np.asarray(sig_ear, dtype=np.float64)
+        cols.append(ear64)
+        sizes.append(ear64.shape[1])
+    if not cols:
+        raise ValueError("Empty configuration: no compartments to fit.")
+    A = np.concatenate(cols, axis=1)
+    dicsizes = np.asarray(sizes, dtype=np.int64)
+    C = len(sizes)
+    w_b = np.zeros((n, C))
+    ind_b = np.zeros((n, C), np.int32)
+    obj_b = np.zeros(n)
+    y_rec = np.zeros_like(y64)
+    for i in range(n):
+        w_i, ind_i, _tot, obj_i, yr_i = nnls_mod.solve_exhaustive_posweights(
+            A, y64[i], dicsizes)
+        w_b[i] = w_i
+        ind_b[i] = ind_i
+        obj_b[i] = obj_i
+        y_rec[i] = yr_i
+    obj_b = np.maximum(obj_b, 0.0)
+    return w_b, ind_b, obj_b, obj_b / S, _r2_np(y64, y_rec)
+
 
 def _r2_np(y, y_rec):
     n = y.shape[-1]

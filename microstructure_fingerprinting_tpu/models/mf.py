@@ -135,55 +135,54 @@ def cleanup_2fascicles(frac1, frac2, peakmode, mu1, mu2, mask, frac12=None):
         peaks[:, 3:6] = dti.principal_eigenvectors(
             dti.DT_vec_to_2Darray(mu2, order='column'))
 
-    # 1) merge directions closer than ang_min (sign-aware weighted sum)
-    dp_max = np.cos(ang_min * np.pi / 180)
-    dp = np.sum(peaks[:, :3] * peaks[:, 3:6], axis=-1)
-    dp_abs = np.abs(np.clip(dp, -1, 1))
-    merge = dp_abs > dp_max
-    if np.any(merge):
-        sign_dp = np.sign(dp[merge])
-        peaks[merge, :3] = (peaks[merge, :3]
-                            + peaks[merge, 3:6] * sign_dp[:, np.newaxis])
-        norm_merged = np.sqrt(np.sum(peaks[merge, :3] ** 2, axis=1))
-        peaks[merge, :3] = peaks[merge, :3] / norm_merged[:, np.newaxis]
-        peaks[merge, 3:6] = 0
-        frac[merge, 0] = frac1[merge] + frac2[merge]
-        frac[merge, 1] = 0
-        num_fasc[merge] = 1
+    # The cleanup itself operates on (ROI, 2) weights and (ROI, 2, 3)
+    # orientations as three branchless `where` rewrites (merge, dominance
+    # transfer, absolute floor) + a sort; the reference applies the same
+    # rules through sequential boolean fancy-indexing (mf.py:228-328).
+    pk = peaks.reshape(ROI_size, max_peaks, 3)
+    w = frac
 
-    # 2a) fascicle 0 relatively too small: transfer fascicle 1 onto slot 0
-    f0small = (frac[:, 1] > ratio * frac[:, 0]) & (frac[:, 0] < w_keep)
-    if np.any(f0small):
-        peaks[f0small, :3] = peaks[f0small, 3:6]
-        peaks[f0small, 3:6] = 0
-        frac[f0small, 0] = frac[f0small, 1]
-        frac[f0small, 1] = 0
-        num_fasc[f0small] = (frac[f0small, 0] > 0) * 1
+    # 1) crossing angle below ang_min: the two directions describe one
+    # fascicle. Slot 0 becomes the (antipodally aligned) resultant of the
+    # pair, carries the summed weight, and slot 1 empties.
+    cosang = np.clip(np.einsum("vd,vd->v", pk[:, 0], pk[:, 1]), -1.0, 1.0)
+    near = np.abs(cosang) > np.cos(np.deg2rad(ang_min))
+    resultant = pk[:, 0] + np.where(cosang < 0, -1.0, 1.0)[:, None] * pk[:, 1]
+    rlen = np.linalg.norm(resultant, axis=1, keepdims=True)
+    resultant = resultant / np.where(rlen > 0, rlen, 1.0)
+    pk = np.where(near[:, None, None],
+                  np.stack([resultant, np.zeros_like(resultant)], axis=1),
+                  pk)
+    w = np.where(near[:, None],
+                 np.stack([w.sum(axis=1), np.zeros(ROI_size)], axis=1), w)
 
-    # 2b) fascicle 1 relatively too small: drop without transfer
-    f1small = (frac[:, 0] > ratio * frac[:, 1]) & (frac[:, 1] < w_keep)
-    if np.any(f1small):
-        peaks[f1small, 3:6] = 0
-        frac[f1small, 1] = 0
-        num_fasc[f1small] = (frac[f1small, 0] > 0) * 1
+    # 2) relative dominance: a slot whose weight is both below w_keep and
+    # out-weighed ratio-fold by the other slot is discarded. When slot 0
+    # is the one discarded, slot 1 takes its place first (the surviving
+    # fascicle always lives in slot 0).
+    dominated = (ratio * w < w[:, ::-1]) & (w < w_keep)
+    promote = dominated[:, 0]
+    pk = np.where(promote[:, None, None], pk[:, ::-1], pk)
+    w = np.where(promote[:, None], w[:, ::-1], w)
+    lone = dominated.any(axis=1)
+    pk[lone, 1] = 0.0
+    w[lone, 1] = 0.0
 
-    # 3) absolute small-weight pruning
-    w0small = frac[:, 0] < w_small
-    if np.any(w0small):
-        peaks[w0small, :3] = 0
-        frac[w0small, 0] = 0
-        num_fasc[w0small] = num_fasc[w0small] - 1
-    w1small = frac[:, 1] < w_small
-    if np.any(w1small):
-        peaks[w1small, 3:6] = 0
-        frac[w1small, 1] = 0
-        num_fasc[w1small] = (frac[w1small, 0] > 0) * 1
+    # 3) absolute floor: weights below w_small vanish entirely
+    faint = w < w_small
+    pk = np.where(faint[:, :, None], 0.0, pk)
+    w = np.where(faint, 0.0, w)
 
-    # 4) sort peak triples by descending fraction
-    i_srt = np.argsort(frac, axis=-1)[:, ::-1]
-    peaks = np.take_along_axis(
-        peaks.reshape(ROI_size, max_peaks, 3),
-        i_srt[:, :, np.newaxis], axis=1).reshape(ROI_size, 3 * max_peaks)
+    # a fascicle survives iff its weight is still positive; each rule
+    # above keeps num_fasc equal to that count (pinned against the
+    # reference's per-step bookkeeping by tests/test_fit.py and the C001
+    # DIAMOND cleanup golden maps)
+    num_fasc = (w > 0).sum(axis=1).astype(float)
+
+    # 4) order the surviving peak triples by descending weight
+    order = np.argsort(w, axis=1)[:, ::-1]
+    peaks = np.take_along_axis(pk, order[:, :, None],
+                               axis=1).reshape(ROI_size, 3 * max_peaks)
 
     peaks_out = np.zeros(mask.shape + (6,))
     peaks_out[in_mask] = peaks
@@ -233,6 +232,10 @@ class MFModel(object):
         # grouped-rotation evaluators are jitted closures: cache them per
         # target scheme so repeated fit() calls reuse compiled programs
         self._rotators = {}
+        # Pallas-kernel health, scoped to this model: a Mosaic compile
+        # failure degrades this model's later buckets to the XLA scans
+        # without leaking the degradation to unrelated models
+        self._kernel_health = fit_mod.KernelHealth()
         print("Initiated model based on dictionary with %d single-fascicle"
               " fingerprint(s) and %d fingerprint(s) for the extra-axonal"
               " restricted (EAR) compartment." %
@@ -495,6 +498,16 @@ class MFModel(object):
 
         if use_fast and any(fast_covers(k) for k in configs):
             rotator = self._grouped_rotator(plan_h, pgse_scheme)
+            if mesh is None:
+                # cold-start diet: compile every bucket's heavy programs
+                # concurrently (wall-clock = max, not sum, of the compile
+                # times) before the dispatch loop touches them
+                fit_mod.prewarm_fast_programs(
+                    self.ms_interpolator, plan_h, tables[1], sig_csf,
+                    sig_ear, [k for k in sorted(configs)
+                              if fast_covers(k)],
+                    batch=batch_size or 512, rotator=rotator,
+                    health=self._kernel_health, verbose=VRB)
 
         # progress cadence contract (reference mf.py:948-949, 455-460):
         # at verbose >= 3, one line every `disp_int` voxels, at most
@@ -515,7 +528,13 @@ class MFModel(object):
                 print("Config K=%d csf=%d ear=%d: %d voxel(s)"
                       % (K, has_csf, has_ear, idx.size))
             st_bucket = time.time()
-            if use_fast and fast_covers((K, has_csf, has_ear)):
+            if K == 0:
+                # fascicle-free buckets (CSF and/or EAR only) are a
+                # closed-form host solve — no device program at all
+                res_now = fit_mod.run_bucket_trivial(
+                    y_roi[idx], sig_csf, sig_ear, has_csf, has_ear)
+                pend = (lambda r=res_now: r)
+            elif use_fast and fast_covers((K, has_csf, has_ear)):
                 pend = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],
                     peaks_roi[idx, :3 * K], y_roi[idx], sig_csf,
@@ -523,7 +542,7 @@ class MFModel(object):
                     else (batch_size or 512), topm=topm,
                     interpret=fast_interpret, rotator=rotator,
                     sig_ear=sig_ear, ear_on=has_ear, mesh=mesh,
-                    defer=True)
+                    defer=True, health=self._kernel_health)
             else:
                 res_now = fit_mod.run_bucket(
                     tables, plan,

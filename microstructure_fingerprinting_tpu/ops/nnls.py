@@ -1246,9 +1246,10 @@ def _solve_exhaustive_posweights_general(A, y, diclengths, chunk=2048):
 def nnls_underdetermined(X, y, max_outer=None):
     """Active-set NNLS for wide ("underdetermined") systems.
 
-    Lawson-Hanson/FNNLS-style algorithm matching the reference
-    (mf_utils.py:663-760). Returns (x, PP, w): non-negative solution, passive
-    set indices, and the gradient-based optimality vector A'y - A'Ax.
+    Lawson-Hanson/FNNLS-style algorithm with the reference's return
+    contract (mf_utils.py:663-760): a 3-tuple of the non-negative
+    solution, the passive-set indices, and the gradient-based optimality
+    vector A'y - A'Ax.
     ``max_outer`` caps the outer active-set passes (default 30 * n); hitting
     the cap emits a RuntimeWarning and returns the current feasible iterate.
     """

@@ -506,6 +506,45 @@ def test_fit_csf_ear_only_volume(rng):
     assert fit.MSE.max() < 1e-10
 
 
+def test_trivial_bucket_matches_generic(rng):
+    """run_bucket_trivial (closed-form host K=0 path) == run_bucket's
+    generic compiled step for every fascicle-free configuration."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models import fit as fit_mod
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=8, n_b0=4)
+    sig, _, _ = mft.make_dictionary(sch, num_atom=8)
+    ms = mfi.init_PGSE_multishell_interp(sig, sch,
+                                         np.array([0.0, 0.0, 1.0]))
+    plan = mfi.plan_target_scheme(ms, sch)
+    tables = ms.device_tables()
+    TE, b = sch[:, 6], b_values(sch)
+    sig_csf = np.exp(-TE / 2.0) * np.exp(-b * 3.0e-9)
+    Dear = np.array([1.5e-9, 0.7e-9, 2.2e-9])
+    sig_ear = np.exp(-TE / 1.2)[:, None] * np.exp(-b[:, None] * Dear[None])
+    n = 6
+    mixw = rng.rand(n, 2) + 0.1
+    y = (mixw[:, :1] * 90 * sig_csf[None]
+         + mixw[:, 1:] * 70 * sig_ear[:, 1][None]
+         + 0.5 * rng.randn(n, sch.shape[0]))
+    peaks0 = np.zeros((n, 0))
+    for csf_on, ear_on in ((True, False), (False, True), (True, True)):
+        triv = fit_mod.run_bucket_trivial(y, sig_csf, sig_ear,
+                                          csf_on, ear_on)
+        import jax.numpy as jnp
+        xs = tables[0]
+        plan_t = (jnp.asarray(plan.gdir, xs.dtype),
+                  jnp.asarray(plan.shell_lo), jnp.asarray(plan.shell_hi),
+                  jnp.asarray(plan.wG, xs.dtype))
+        gen = fit_mod.run_bucket(tables, plan_t, peaks0, y, sig_csf,
+                                 sig_ear, 0, csf_on, ear_on, batch=n)
+        np.testing.assert_array_equal(triv[1], gen[1])      # indices
+        np.testing.assert_allclose(triv[0], gen[0], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(triv[2], gen[2], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(triv[4], gen[4], rtol=1e-4, atol=1e-6)
+
+
 def test_device_finalize_matches_host_refine(rng):
     """run_bucket_fast with device finalize (the TPU production path:
     scan winner + ops/dfscan.df_nnls_cols weights/metrics on device, one
@@ -592,15 +631,16 @@ def test_twopass_production_graph(rng, monkeypatch):
     Dear = np.linspace(0.8e-9, 2.6e-9, 4)
     sig_ear = (np.exp(-TE / 0.8)[:, None]
                * np.exp(-b[:, None] * Dear[None]))
-    from microstructure_fingerprinting_tpu.models import fit as fit_mod
     # force=True additionally drives the EAR two-pass composition
     # (rowmin_4 -> row selection -> df4 re-scan -> okf plumbing) that
-    # production gates on the TPU backend (fit.py _TWOPASS_EAR)
+    # production gates on the TPU backend (SolverConfig.twopass_ear_mode)
     for kw, force in (({}, False),
                       ({"sig_ear": sig_ear, "ear_on": True}, False),
                       ({"sig_ear": sig_ear, "ear_on": True}, True)):
         if force:
-            monkeypatch.setattr(fit_mod, "_TWOPASS_EAR", "force")
+            monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
+                cfg.DEFAULTS["solver"], twopass_rows=64,
+                twopass_ear_mode="always"))
         host = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
                                batch=8, device_finalize=False, **kw)
         dev = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
