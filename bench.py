@@ -63,12 +63,13 @@ def _make_ear(wl):
     TE, b = sch[:, 6], b_values(sch)
     Dear = np.linspace(0.8e-9, 2.6e-9, 10)
     sig_ear = np.exp(-TE / 0.8)[:, None] * np.exp(-b[:, None] * Dear[None])
-    n_ear = N_VOX_BATCH // 4
-    y_ear = wl["y"][:n_ear] + 35 * sig_ear[:, 4][None, :]
+    # full-size EAR bucket: production UKBB buckets hold thousands of
+    # voxels, so the (rare) overflow-tier re-solves amortize across chunks
+    y_ear = wl["y"] + 35 * sig_ear[:, 4][None, :]
     return sig_ear, y_ear
 
 
-def _measure_main(wl, rotator, health):
+def _measure_main(wl, rotator, health, aot=None):
     """Throughput of the production fit path: grouped-matmul rotation +
     double-float candidate scan (exact f64-grade selection) on the
     2-fascicle + CSF bucket (models/fit.run_bucket_fast — what
@@ -82,7 +83,7 @@ def _measure_main(wl, rotator, health):
         return run_bucket_fast(ms, plan, ys_t, peaks, wl["y"],
                                wl["sig_csf"], 2, True, batch=CHUNK,
                                topm=16, rotator=rotator, defer=defer,
-                               health=health)
+                               health=health, aot=aot)
 
     step()  # compile (cache-hit after prewarm) + warm
     _log("main bucket warm; measuring")
@@ -97,7 +98,7 @@ def _measure_main(wl, rotator, health):
     return N_BATCHES * N_VOX_BATCH / (time.time() - t0)
 
 
-def _measure_ear(wl, rotator, health, sig_ear, y_ear):
+def _measure_ear(wl, rotator, health, sig_ear, y_ear, aot=None):
     """EAR bucket (2 fascicles + CSF + EAR, dicsizes [N, N, 1, 10]):
     the fused two-pass 4-block scan."""
     from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
@@ -111,7 +112,7 @@ def _measure_ear(wl, rotator, health, sig_ear, y_ear):
                                wl["sig_csf"], 2, True, batch=CHUNK,
                                topm=16, rotator=rotator,
                                sig_ear=sig_ear, ear_on=True, defer=defer,
-                               health=health)
+                               health=health, aot=aot)
 
     step_ear()  # compile (cache-hit after prewarm) + warm
     _log("EAR bucket warm; measuring")
@@ -199,20 +200,20 @@ def main():
     # both buckets' chunk + overflow-tier programs compile now, in the
     # fixed order that makes every cache key reproducible across
     # processes — a second bench run (the driver's) starts fully warm
-    fit_mod.prewarm_fast_programs(
+    aot = fit_mod.prewarm_fast_programs(
         ms, plan, ys_t, wl["sig_csf"], sig_ear,
         [(2, True, False), (2, True, True)], batch=CHUNK,
         rotator=rotator, health=health, verbose=2)
     _log("prewarm done")
 
-    vox_per_s = _measure_main(wl, rotator, health)
+    vox_per_s = _measure_main(wl, rotator, health, aot)
     _emit(vox_per_s, base)          # headline lands before any EAR work
     _log("main %.1f vox/s" % vox_per_s)
 
     if time.time() - T0 > BUDGET_S - 60:
         _log("budget nearly exhausted; skipping the EAR measurement")
         return
-    ear_vox_per_s = _measure_ear(wl, rotator, health, sig_ear, y_ear)
+    ear_vox_per_s = _measure_ear(wl, rotator, health, sig_ear, y_ear, aot)
     _log("ear %.1f vox/s" % ear_vox_per_s)
     _emit(vox_per_s, base, ear_vox_per_s)
 

@@ -211,7 +211,8 @@ def _twopass_step4(D, csf_d, ear_d, y, R, fused):
 def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     K, csf_on, batch=128, topm=16, interpret=False,
                     rotator=None, sig_ear=None, ear_on=False, mesh=None,
-                    device_finalize=None, defer=False, health=None):
+                    device_finalize=None, defer=False, health=None,
+                    aot=None):
     """Fast path for the 1- and 2-fascicle (+CSF, +CSF+EAR) configurations.
 
     Grouped-matmul rotation (ops/interp.make_grouped_rotation) feeds the
@@ -252,6 +253,20 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
     del interpret
     if health is None:
         health = KernelHealth()
+
+    def _aot(tag, fn, *args, **statics):
+        """Invoke the prewarm-compiled executable for ``tag`` when one
+        was handed in (skips the first-call re-trace of the jitted
+        function, ~5-10 s for the fused EAR programs); falls back to the
+        ordinary jit call on any mismatch — results are identical either
+        way (same lowering, same executable)."""
+        c = aot.get(tag) if aot else None
+        if c is not None:
+            try:
+                return c(*args)
+            except Exception:
+                pass
+        return fn(*args, **statics)
     if device_finalize is None:
         device_finalize = jax.default_backend() == "tpu"
     # two-pass exact scan (f32 row pass + df re-scan of the top rows):
@@ -334,7 +349,7 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         if mesh is not None:
             pk_c = pmesh.shard_batch(mesh, pk_c)
             yy_c = pmesh.shard_batch(mesh, yy_c)
-        D = rotator(tables_ys, pk_c)
+        D = _aot("rotate:%d" % K, rotator, tables_ys, pk_c)
 
         # the broadcast compartment blocks are only consumed by the
         # non-fused branches (the fused two-pass steps rebuild their own
@@ -353,10 +368,12 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
             # same tie order as the reference's (i1, csf, e) product,
             # the CSF index being constant)
             if ear_on:
-                cand2, res2, _ysq = dfscan.df3_candidates(
+                cand2, res2, _ysq = _aot(
+                    "scan13" if pool == 1 else "", dfscan.df3_candidates,
                     D[:, 0], mk_ear_blk(), mk_csf_blk(), yy_c, M=pool)
             else:
-                cand2, res2, _ysq = dfscan.df2_candidates(
+                cand2, res2, _ysq = _aot(
+                    "scan12" if pool == 1 else "", dfscan.df2_candidates,
                     D[:, 0], mk_csf_blk(), yy_c, M=pool)
         elif ear_on:
             # EAR two-pass: Pallas f32 interval row pass (support
@@ -374,8 +391,10 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 # df3 path's _twopass_step3)
                 fused4 = on_tpu and health.ok["df4"]
                 try:
-                    c0, w_c, obj_c, r2_c, okf = _twopass_step4(
-                        D, csf_d, ear_d, yy_c, rows_R_ear, fused=fused4)
+                    c0, w_c, obj_c, r2_c, okf = _aot(
+                        "step4" if fused4 else "",
+                        _twopass_step4, D, csf_d, ear_d, yy_c,
+                        R=rows_R_ear, fused=fused4)
                 except Exception as e:  # Mosaic compile guard
                     if not fused4:
                         raise
@@ -417,8 +436,10 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 fused3 = (jax.default_backend() == "tpu"
                           and mesh is None and health.ok["df3"])
                 try:
-                    c0, w_c, obj_c, r2_c, okf = _twopass_step3(
-                        D, csf_d, yy_c, rows_R, fused=fused3)
+                    c0, w_c, obj_c, r2_c, okf = _aot(
+                        "step3" if fused3 else "",
+                        _twopass_step3, D, csf_d, yy_c, R=rows_R,
+                        fused=fused3)
                 except Exception as e:  # Mosaic compile guard
                     if not fused3:
                         raise
@@ -448,10 +469,15 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                 cand2, res2, _ysq = dfscan.df3_candidates(
                     D[:, 0], D[:, 1], mk_csf_blk(), yy_c, M=pool)
         else:
-            cand2, res2, _ysq = dfscan.df2_candidates(D[:, 0], D[:, 1],
-                                                      yy_c, M=pool)
+            cand2, res2, _ysq = _aot(
+                "scan22" if pool == 1 else "", dfscan.df2_candidates,
+                D[:, 0], D[:, 1], yy_c, M=pool)
         if device_finalize:
-            w_c, obj_c, r2_c = _finalize_top1(
+            fin_tag = {(1, True, False): "fin12", (1, True, True): "fin13",
+                       (2, False, False): "fin22"}.get(
+                           (K, bool(csf_on), bool(ear_on)), "")
+            w_c, obj_c, r2_c = _aot(
+                fin_tag, _finalize_top1,
                 D, csf_d, ear_d, yy_c, cand2[:, 0],
                 csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
             if okf is None:
@@ -517,7 +543,9 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                         y_f[m:] = y_f[0]
                     pk_fd = jnp.asarray(pk_f)
                     y_fd = jnp.asarray(y_f)
-                    D_f = rotator(tables_ys, pk_fd)
+                    D_f = _aot("rotate_fb" if (K == 2 and fb != batch)
+                               else "rotate:%d" % K if fb == batch else "",
+                               rotator, tables_ys, pk_fd)
                     csf_f = jnp.broadcast_to(csf_d[None, :, None],
                                              (fb, S, 1))
                     return D_f, csf_f, y_fd
@@ -554,11 +582,15 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                             if ear_on:
                                 ear_f = jnp.broadcast_to(
                                     ear_d[None, :, :], (fb, S, E))
-                                cand_f, _v, _q, ok_f = f32.df4_twopass(
+                                cand_f, _v, _q, ok_f = _aot(
+                                    "tier4" if fused_t1 else "",
+                                    f32.df4_twopass,
                                     D_f[:, 0], D_f[:, 1], csf_f, ear_f,
                                     y_fd, M=1, R=R2b, fused=fused_t1)
                             else:
-                                cand_f, _v, _q, ok_f = f32.df3_twopass(
+                                cand_f, _v, _q, ok_f = _aot(
+                                    "tier3" if fused_t1 else "",
+                                    f32.df3_twopass,
                                     D_f[:, 0], D_f[:, 1], csf_f, y_fd,
                                     M=1, R=R2b, fused=fused_t1)
                         except Exception as e:  # Mosaic compile guard
@@ -568,7 +600,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                             e, "tier-1 re-solve")
                             still.extend(bad[st:])
                             break
-                        w_f, obj_f, r2_f = _finalize_top1(
+                        w_f, obj_f, r2_f = _aot(
+                            "fin4" if ear_on else "fin3", _finalize_top1,
                             D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
                             csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
                         pk_f = _pull_packed(cand_f, w_f, obj_f, r2_f, ok_f)
@@ -592,7 +625,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                             # re-solve
                             from ..ops import pallas_dfscan as pdf
                             try:
-                                rr_f, rfl_f, _yf = pdf.row_scan_df4(
+                                rr_f, rfl_f, _yf = _aot(
+                                    "grid4", pdf.row_scan_df4,
                                     D_f[:, 0], D_f[:, 1], csf_f, ear_f,
                                     y_fd)
                                 cand_f, _rf = pdf.candidates_from_rows_df4(
@@ -609,7 +643,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                                 M=1)
                     elif jax.default_backend() == "tpu" and mesh is None:
                         from ..ops import pallas_dfscan as pdf
-                        rr_f, ri_f, _yf = pdf.row_scan_df3(
+                        rr_f, ri_f, _yf = _aot(
+                            "grid3", pdf.row_scan_df3,
                             D_f[:, 0], D_f[:, 1], csf_f, y_fd)
                         cand_f, _rf = pdf.candidates_from_rows(
                             rr_f, ri_f, 1,
@@ -617,7 +652,8 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                     else:
                         cand_f, _rf, _yf = dfscan.df3_candidates(
                             D_f[:, 0], D_f[:, 1], csf_f, y_fd, M=1)
-                    w_f, obj_f, r2_f = _finalize_top1(
+                    w_f, obj_f, r2_f = _aot(
+                        "fin4" if ear_on else "fin3", _finalize_top1,
                         D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
                         csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
                     pk_f = _pull_packed(cand_f, w_f, obj_f, r2_f)
@@ -724,10 +760,11 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
 
     return _finish if defer else _finish()
 
-#: shapes already prewarmed in this process — a timing-only cache (skips
-#: re-dispatching warmup buckets whose programs the jit cache already
-#: holds); never changes behavior or results.
-_PREWARM_DONE = set()
+#: programs already prewarmed in this process: full shape/config key ->
+#: AOT-compiled executable (or None if that compile failed). A
+#: timing-only cache — the executables are the same ones the jit call
+#: path would build; results are identical.
+_PREWARM_DONE = {}
 
 
 def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
@@ -816,7 +853,7 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
                 sds(fb, S)))
             add("fin4", lambda E=E: _finalize_top1.lower(
                 sds(fb, 2, S, N), sds(S), sds(S, E), sds(fb, S),
-                isds(fb, 3), csf_on=True, ear_on=True, K=2))
+                isds(fb, 4), csf_on=True, ear_on=True, K=2))
         elif K == 2 and csf_on and n_atom_big:
             add("step3", lambda: _twopass_step3.lower(
                 sds(batch, 2, S, N), sds(S), sds(batch, S),
@@ -835,7 +872,7 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
                 sds(batch, S), M=1))
             add("fin13", lambda E=E: _finalize_top1.lower(
                 sds(batch, 1, S, N), sds(S), sds(S, E), sds(batch, S),
-                isds(batch, 3), csf_on=True, ear_on=True, K=1))
+                isds(batch, 2), csf_on=True, ear_on=True, K=1))
         elif K == 1 and csf_on:
             add("scan12", lambda: dfscan.df2_candidates.lower(
                 sds(batch, S, N), sds(batch, S, 1), sds(batch, S), M=1))
@@ -851,8 +888,6 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
 
     jobs = [(key, label, thunk) for key, label, thunk in plans
             if key not in _PREWARM_DONE]
-    if not jobs:
-        return
     st = time.time()
     errs = []
     lowered = []
@@ -861,18 +896,26 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
             lowered.append((key, label, thunk()))
         except Exception as e:         # warmup must never fail a fit
             errs.append((label, e))
+            _PREWARM_DONE[key] = None
     for key, label, lo in lowered:     # phase 2: compile (disk-cache aware)
         try:
-            lo.compile()
-            _PREWARM_DONE.add(key)
+            _PREWARM_DONE[key] = lo.compile()
         except Exception as e:
             errs.append((label, e))
-    if verbose >= 2:
+            _PREWARM_DONE[key] = None
+    if verbose >= 2 and lowered:
         print("Prewarmed %d program(s) in %g second(s)%s."
               % (len(lowered), time.time() - st,
                  " (%d warmup failure(s) ignored: %s)"
                  % (len(errs), ", ".join(l for l, _e in errs))
                  if errs else ""))
+    # label -> compiled executable for THIS shape/config set; callers pass
+    # it to run_bucket_fast (``aot=``) so chunk dispatch can invoke the
+    # already-compiled programs directly instead of re-tracing each one
+    # on its first jit call (~5-10 s apiece for the fused EAR programs)
+    return {label: _PREWARM_DONE[key]
+            for key, label, _t in plans
+            if _PREWARM_DONE.get(key) is not None}
 
 
 def run_bucket_trivial(y, sig_csf, sig_ear, csf_on, ear_on):

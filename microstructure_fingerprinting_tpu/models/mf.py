@@ -480,6 +480,7 @@ class MFModel(object):
         # holds the full second sub-dictionary (S x N2) plus one atom tile
         # in VMEM; beyond ~1500 atoms fall back to the tiled XLA scan,
         # which streams both axes.
+        aot = None
         use_fast = (engine in ("fast", "pallas")
                     or (engine == "auto" and refine
                         and jax.default_backend() == "tpu"
@@ -500,9 +501,11 @@ class MFModel(object):
             rotator = self._grouped_rotator(plan_h, pgse_scheme)
             if mesh is None:
                 # cold-start diet: compile every bucket's heavy programs
-                # concurrently (wall-clock = max, not sum, of the compile
-                # times) before the dispatch loop touches them
-                fit_mod.prewarm_fast_programs(
+                # up front in the fixed order that makes their
+                # persistent-cache keys reproducible across processes;
+                # the returned AOT handles let the dispatch loop skip
+                # each program's first-call re-trace
+                aot = fit_mod.prewarm_fast_programs(
                     self.ms_interpolator, plan_h, tables[1], sig_csf,
                     sig_ear, [k for k in sorted(configs)
                               if fast_covers(k)],
@@ -542,7 +545,7 @@ class MFModel(object):
                     else (batch_size or 512), topm=topm,
                     interpret=fast_interpret, rotator=rotator,
                     sig_ear=sig_ear, ear_on=has_ear, mesh=mesh,
-                    defer=True, health=self._kernel_health)
+                    defer=True, health=self._kernel_health, aot=aot)
             else:
                 res_now = fit_mod.run_bucket(
                     tables, plan,

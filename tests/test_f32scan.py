@@ -320,7 +320,10 @@ def test_twopass4_col_pruning_block1_free_optimum(rng):
     two-pass must still find an equally-optimal point — same i2/i4 and
     residual at df resolution; i1 may be any tied representative (the
     documented boundary-tie caveat)."""
-    B, S, N1, N2, N3, N4 = 3, 48, 150, 220, 1, 10
+    # shapes MATCH test_twopass4_col_pruning_matches_onepass exactly so
+    # the compiled df4 programs are reused within the module (they are
+    # the suite's most expensive compiles)
+    B, S, N1, N2, N3, N4 = 4, 48, 150, 220, 1, 10
     base = np.abs(rng.randn(B, S, 1))
     mk = lambda n: np.float32(
         0.9 * base + 0.1 * (np.abs(rng.randn(B, S, n)) + 0.05))

@@ -740,3 +740,39 @@ def test_k1_fast_path_matches_general(rng):
         assert same > 0.85, "more than tie-level selection divergence"
         # planted-fascicle recovery (noiseless synthesis)
         assert np.mean(host[1][:, 0] == ids) > 0.85
+
+
+def test_mosaic_failure_degrades_to_xla(rng, monkeypatch):
+    """A Mosaic/Pallas compile failure must degrade the bucket to the
+    XLA kernels (same selection) and mark the kernel family unhealthy in
+    the per-fit KernelHealth — never kill the fit. Forced naturally by
+    making the TPU-only gates fire on the CPU backend, where the fused
+    kernels cannot compile."""
+    import dataclasses
+    import jax as jax_mod
+    from microstructure_fingerprinting_tpu import config as cfg
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models import fit as fit_mod
+    monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
+        cfg.DEFAULTS["solver"], twopass_rows=64))
+    wl = mft.make_fit_workload(num_atom=160, n_vox=8, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    ms, plan = wl["msinterp"], wl["plan"]
+    _xs, ys_t, _cnt = ms.device_tables()
+    peaks = wl["peaks"].reshape(8, 6)
+    y, csf = wl["y"], wl["sig_csf"]
+    # reference result: the plain XLA path, untouched gates
+    ref = fit_mod.run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
+                                  batch=8, device_finalize=True)
+    # pretend we are on TPU so the fused two-pass gate fires; the Pallas
+    # kernel then fails to build on the CPU backend
+    monkeypatch.setattr(fit_mod.jax, "default_backend", lambda: "tpu")
+    health = fit_mod.KernelHealth()
+    with pytest.warns(UserWarning, match="falling back to the XLA"):
+        got = fit_mod.run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2,
+                                      True, batch=8, device_finalize=True,
+                                      health=health)
+    assert not health.ok["df3"]
+    np.testing.assert_array_equal(got[1], ref[1])
+    np.testing.assert_allclose(got[2], ref[2], rtol=1e-9, atol=1e-12)
+    del jax_mod
