@@ -87,15 +87,21 @@ def _measure_main(wl, rotator, health, aot=None):
 
     step()  # compile (cache-hit after prewarm) + warm
     _log("main bucket warm; measuring")
+
     # cross-bucket pipelining, as MFModel.fit runs it: all buckets'
     # host->device pushes and device work are dispatched up front
     # (deferred), then pulled in order — bucket N+1's push/compute
-    # overlaps bucket N's pull. Timed over the whole pipelined run.
-    t0 = time.time()
-    pend = [step(defer=True) for _ in range(N_BATCHES)]
-    for fin in pend:
-        fin()
-    return N_BATCHES * N_VOX_BATCH / (time.time() - t0)
+    # overlaps bucket N's pull. Timed over the whole pipelined run;
+    # best of two passes (the remote tunnel stalls intermittently and a
+    # stall can only lower the number, never raise it).
+    def one_pass():
+        t0 = time.time()
+        pend = [step(defer=True) for _ in range(N_BATCHES)]
+        for fin in pend:
+            fin()
+        return N_BATCHES * N_VOX_BATCH / (time.time() - t0)
+
+    return max(one_pass(), one_pass())
 
 
 def _measure_ear(wl, rotator, health, sig_ear, y_ear, aot=None):
@@ -117,11 +123,16 @@ def _measure_ear(wl, rotator, health, sig_ear, y_ear, aot=None):
     step_ear()  # compile (cache-hit after prewarm) + warm
     _log("EAR bucket warm; measuring")
     n_rep = max(N_BATCHES - 2, 2)
-    t0 = time.time()
-    pend = [step_ear(defer=True) for _ in range(n_rep)]
-    for fin in pend:
-        fin()
-    return n_rep * n_ear / (time.time() - t0)
+
+    def one_pass():
+        t0 = time.time()
+        pend = [step_ear(defer=True) for _ in range(n_rep)]
+        for fin in pend:
+            fin()
+        return n_rep * n_ear / (time.time() - t0)
+
+    # best of two (tunnel stalls only ever lower the number)
+    return max(one_pass(), one_pass())
 
 
 def _cpu_reference_throughput(wl, n_probe=3):
@@ -177,7 +188,10 @@ def _cpu_reference_throughput(wl, n_probe=3):
         res = np.where(ok & np.isfinite(res), res, np.inf)
         int(np.argmin(res))  # selection
         times.append(time.time() - t0)
-    return 1.0 / float(np.median(times))
+    # fastest probe = the baseline machine's true capability (host-side
+    # scheduling noise only ever slows a probe); conservative for
+    # vs_baseline, and far stabler run-to-run than the median
+    return 1.0 / float(np.min(times))
 
 
 def main():

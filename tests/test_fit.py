@@ -365,8 +365,10 @@ def test_pallas_engine_matches_default(rng):
         D2 = mfi.interp_PGSE_from_multishell(sch, d2, msinterp=ms)
         data[ijk] = (100 * D1[:, a1] + 150 * D2[:, a2] + 80 * sig_csf)
     model = MFModel(dic)
+    # batch_size matches test_pallas_engine_ear_matches_xla so the two
+    # engine tests share every compiled chunk program within the module
     kw = dict(peaks=peaks, pgse_scheme=sch, csf_mask=1, verbose=0,
-              batch_size=4, refine=True, topm=8)
+              batch_size=8, refine=True, topm=8)
     f_x = model.fit(data, np.ones(shape), 2, engine="xla", **kw)
     f_p = model.fit(data, np.ones(shape), 2, engine="pallas", **kw)
     # both engines refine exactly in f64, but the pallas pool resolves
