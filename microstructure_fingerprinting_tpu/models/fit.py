@@ -48,6 +48,11 @@ class KernelHealth:
 
     def __init__(self):
         self.ok = {"df3": True, "df4": True}
+        # AOT-executable fallbacks observed (tag -> count): a prewarmed
+        # executable whose direct call keeps failing signals a systematic
+        # shape/sharding mismatch that silently re-traces every chunk —
+        # surfaced via a once-per-tag warning in run_bucket_fast._aot
+        self.aot_fallbacks = {}
 
     def fail(self, key, exc, what):
         warnings.warn(
@@ -258,14 +263,25 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
         """Invoke the prewarm-compiled executable for ``tag`` when one
         was handed in (skips the first-call re-trace of the jitted
         function, ~5-10 s for the fused EAR programs); falls back to the
-        ordinary jit call on any mismatch — results are identical either
-        way (same lowering, same executable)."""
+        ordinary jit call on a signature/aval mismatch — results are
+        identical either way (same lowering, same executable). Only
+        mismatch exception types are absorbed: a genuine device runtime
+        fault must propagate, not silently re-execute a multi-second
+        program via the jit path. The first fallback per tag warns, so a
+        systematically failing executable (which would otherwise silently
+        re-trace every chunk and void the prewarm) is visible."""
         c = aot.get(tag) if aot else None
         if c is not None:
             try:
                 return c(*args)
-            except Exception:
-                pass
+            except (TypeError, ValueError) as e:
+                n_prev = health.aot_fallbacks.get(tag, 0)
+                health.aot_fallbacks[tag] = n_prev + 1
+                if n_prev == 0:
+                    warnings.warn(
+                        "prewarmed executable %r rejected its arguments "
+                        "(%s: %s); falling back to the jit path (re-trace) "
+                        "for this tag" % (tag, type(e).__name__, e))
         return fn(*args, **statics)
     if device_finalize is None:
         device_finalize = jax.default_backend() == "tpu"
@@ -827,11 +843,22 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
         return jax.ShapeDtypeStruct(shape, jnp.int32)
 
     n_atom_big = N > 2 * rows_R   # mirrors run_bucket_fast's twopass gate
+    # the rotator bakes the target-scheme group structure (derived from
+    # plan + knot counts) into its lowering as constants, and every lowered
+    # program bakes the table dtype: both must be part of the prewarm key,
+    # or a later same-shape fit against a different protocol/dtype would be
+    # treated as already warmed and hand back executables that reject (or
+    # worse, misinterpret) their arguments on every chunk
+    plan_fp = hash((np.asarray(plan_host.gdir, np.float64).tobytes(),
+                    np.asarray(plan_host.shell_lo).tobytes(),
+                    np.asarray(plan_host.shell_hi).tobytes(),
+                    np.asarray(plan_host.wG, np.float64).tobytes(),
+                    np.asarray(ms_host.cnt).tobytes()))
     plans = []                    # fixed-order (key, label, lower_thunk)
     for (K, csf_on, ear_on) in sorted(buckets):
         E = int(np.asarray(sig_ear).shape[1]) if ear_on else 0
-        base = (tables_ys.shape, S, K, bool(csf_on), bool(ear_on), E,
-                batch, rows_R, rows_R_ear)
+        base = (tables_ys.shape, str(dt), plan_fp, S, K, bool(csf_on),
+                bool(ear_on), E, batch, rows_R, rows_R_ear)
 
         def add(label, thunk, base=base):
             plans.append((base + (label,), label, thunk))
@@ -909,6 +936,16 @@ def prewarm_fast_programs(ms_host, plan_host, tables_ys, sig_csf, sig_ear,
                  " (%d warmup failure(s) ignored: %s)"
                  % (len(errs), ", ".join(l for l, _e in errs))
                  if errs else ""))
+    # bound the process-global executable cache: a long-lived process
+    # fitting many differently-shaped volumes must not pin every compiled
+    # program forever (insertion order = LRU-ish eviction of older fits;
+    # the current fit's keys are never evicted)
+    live = {key for key, _l, _t in plans}
+    for k in list(_PREWARM_DONE):
+        if len(_PREWARM_DONE) <= 96:
+            break
+        if k not in live:
+            del _PREWARM_DONE[k]
     # label -> compiled executable for THIS shape/config set; callers pass
     # it to run_bucket_fast (``aot=``) so chunk dispatch can invoke the
     # already-compiled programs directly instead of re-tracing each one
@@ -937,31 +974,52 @@ def run_bucket_trivial(y, sig_csf, sig_ear, csf_on, ear_on):
     from ..ops import nnls as nnls_mod
     y64 = np.asarray(y, dtype=np.float64)
     n, S = y64.shape
-    cols = []
-    sizes = []
+    y_sq = np.einsum("ns,ns->n", y64, y64)
+    if not (csf_on or ear_on):
+        raise ValueError("Empty configuration: no compartments to fit.")
+    # vectorized over voxels with the SAME closed-form case analysis the
+    # exhaustive host solver uses (lsqnonneg_1var / lsqnonneg_2var with
+    # xp=numpy), so per-voxel results are bit-identical to a
+    # solve_exhaustive_posweights loop; argmin keeps the first minimum,
+    # matching the reference's strict-improvement product order
     if csf_on:
-        cols.append(np.asarray(sig_csf, dtype=np.float64)[:, None])
-        sizes.append(1)
+        csf64 = np.asarray(sig_csf, dtype=np.float64)
     if ear_on:
         ear64 = np.asarray(sig_ear, dtype=np.float64)
-        cols.append(ear64)
-        sizes.append(ear64.shape[1])
-    if not cols:
-        raise ValueError("Empty configuration: no compartments to fit.")
-    A = np.concatenate(cols, axis=1)
-    dicsizes = np.asarray(sizes, dtype=np.int64)
-    C = len(sizes)
-    w_b = np.zeros((n, C))
-    ind_b = np.zeros((n, C), np.int32)
-    obj_b = np.zeros(n)
-    y_rec = np.zeros_like(y64)
-    for i in range(n):
-        w_i, ind_i, _tot, obj_i, yr_i = nnls_mod.solve_exhaustive_posweights(
-            A, y64[i], dicsizes)
-        w_b[i] = w_i
-        ind_b[i] = ind_i
-        obj_b[i] = obj_i
-        y_rec[i] = yr_i
+        E = ear64.shape[1]
+    if csf_on and ear_on:
+        A11 = float(csf64 @ csf64)
+        A22 = np.einsum("se,se->e", ear64, ear64)          # (E,)
+        A12 = csf64 @ ear64                                # (E,)
+        Y1 = y64 @ csf64                                   # (n,)
+        Y2 = y64 @ ear64                                   # (n, E)
+        w1, w2, res = nnls_mod.lsqnonneg_2var(
+            y_sq[:, None], A11, A12[None, :], A22[None, :],
+            Y1[:, None], Y2, xp=np)                        # (n, E)
+        ie = np.argmin(res, axis=1)
+        rows = np.arange(n)
+        w_b = np.stack([w1[rows, ie], w2[rows, ie]], axis=1)
+        ind_b = np.stack([np.zeros(n, np.int32), ie.astype(np.int32)],
+                         axis=1)
+        obj_b = res[rows, ie]
+        y_rec = w_b[:, :1] * csf64[None, :] + w_b[:, 1:] * ear64[:, ie].T
+    elif csf_on:
+        w, res = nnls_mod.lsqnonneg_1var(
+            y_sq, float(csf64 @ csf64), y64 @ csf64, xp=np)
+        w_b = w[:, None]
+        ind_b = np.zeros((n, 1), np.int32)
+        obj_b = res
+        y_rec = w_b * csf64[None, :]
+    else:  # EAR only
+        a_sq = np.einsum("se,se->e", ear64, ear64)
+        w, res = nnls_mod.lsqnonneg_1var(y_sq[:, None], a_sq[None, :],
+                                         y64 @ ear64, xp=np)     # (n, E)
+        ie = np.argmin(res, axis=1)
+        rows = np.arange(n)
+        w_b = w[rows, ie][:, None]
+        ind_b = ie.astype(np.int32)[:, None]
+        obj_b = res[rows, ie]
+        y_rec = w_b * ear64[:, ie].T
     obj_b = np.maximum(obj_b, 0.0)
     return w_b, ind_b, obj_b, obj_b / S, _r2_np(y64, y_rec)
 

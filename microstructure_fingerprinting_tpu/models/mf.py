@@ -533,10 +533,13 @@ class MFModel(object):
             st_bucket = time.time()
             if K == 0:
                 # fascicle-free buckets (CSF and/or EAR only) are a
-                # closed-form host solve — no device program at all
-                res_now = fit_mod.run_bucket_trivial(
-                    y_roi[idx], sig_csf, sig_ear, has_csf, has_ear)
-                pend = (lambda r=res_now: r)
+                # closed-form host solve — no device program at all.
+                # Deferred to the pull phase so the host work (vectorized,
+                # but O(ROI) for whole-brain CSF masks) does not stall
+                # dispatch of the device buckets.
+                pend = (lambda i_=idx, c_=has_csf, e_=has_ear:
+                        fit_mod.run_bucket_trivial(
+                            y_roi[i_], sig_csf, sig_ear, c_, e_))
             elif use_fast and fast_covers((K, has_csf, has_ear)):
                 pend = fit_mod.run_bucket_fast(
                     self.ms_interpolator, plan_h, tables[1],

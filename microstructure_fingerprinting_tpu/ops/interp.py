@@ -32,10 +32,6 @@ from ..utils.scheme import get_gyromagnetic_ratio
 from .math3d import rotate_scheme_mat
 
 _PERP_CLUSTER_TOL = 1e-3  # dot-product width of the near-perpendicular cluster
-_KNOT_MERGE_TOL = 3e-7    # min knot separation: sub-f32-eps gaps (e.g. the
-                          # |g.n| of exactly-opposite directions differing by
-                          # 1 ulp in f64) collapse to zero-width segments
-                          # after the f32 device cast -> 0/0 in the lerp
 
 
 # ---------------------------------------------------------------------------
@@ -61,14 +57,19 @@ def _build_shell_knots(dot, sig_rows):
     near-perpendicular cluster smoothing (mf_utils.py:2057-2072).
 
     dot: (n,) |g.n| values; sig_rows: (n, Nsubs). Returns (xs, ys).
+
+    ``np.unique`` (no extra tolerance) matches the reference's FAST-mode
+    initializer bit-for-bit: the |g.n| of near-antipodal direction pairs
+    differ by ~1 ulp and are KEPT as distinct knots. That ulp-wide edge
+    segment is what makes scipy's ``fill_value='extrapolate'`` behave as a
+    constant beyond the last knot when the top |dot| is (ulp-)duplicated
+    with equal signals, and our lerp kernels reproduce it: the edge slope
+    (y1-y0)/ulp is 0 when y1==y0, and the denom>0 guards return y0 when
+    the f32 device cast collapses the segment to zero width (verified by
+    tests/test_reference_parity.py::test_ref_interp_*).
     """
     xs, first_idx = np.unique(dot, return_index=True)
     ys = sig_rows[first_idx, :]
-    # merge knots closer than the f32 resolution (keep-first, like unique)
-    if xs.size > 1:
-        keep = np.concatenate(([True], np.diff(xs) > _KNOT_MERGE_TOL))
-        xs = xs[keep]
-        ys = ys[keep]
     almost_perp = np.abs(xs - xs[0]) < _PERP_CLUSTER_TOL
     cluster_size = int(np.sum(almost_perp))
     if cluster_size > 1:

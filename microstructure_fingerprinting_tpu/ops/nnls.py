@@ -1067,7 +1067,9 @@ def _solve_exhaustive_host(A, y, dicsizes):
         G13 = blocks[0].T @ blocks[2]
         G23 = blocks[1].T @ blocks[2]
         N1, N2, N3 = (int(n) for n in dicsizes)
-        best = (y_sq, 0, None)
+        # reference init (mf_utils.py:536): w=0 at indices (0,0,0) unless a
+        # candidate strictly beats ||y||^2
+        best = (y_sq, 0, (0.0, 0.0, 0.0, 0, 0))
         for i3 in range(N3):                      # reference order: i3 outer
             w1, w2, w3, res = lsqnonneg_3var(
                 y_sq, dk[0][:, None], dk[1][None, :], dk[2][i3],

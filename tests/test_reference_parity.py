@@ -1,0 +1,386 @@
+"""TRUE differential parity tests against the actual reference implementation.
+
+The upstream reference (/root/reference, rensonnetg/microstructure_fingerprinting)
+cannot normally import here because numba and nibabel are not installed. Its
+Numba decorators are pure accelerators (``@nba.jit(nopython=...)``,
+reference mf_utils.py:218-224, 284-287, 399-403, 466-469, 2758-2761) and its
+nibabel use is four entry points (reference mf.py:30-33, 1225-1227), so tiny
+stubs (tests/_refstub/) make the ENTIRE reference run in pure Python.
+
+Every test here executes the *reference's own code* side by side with this
+framework on identical inputs:
+
+  * ``solve_exhaustive_posweights`` — identical 5-tuples to <= 1e-10 on the
+    reference boundary vectors and random dictionaries for K = 1..4
+    (mirrors reference test_exhaustive_fingerprinting.py:94-153);
+  * ``nnls_underdetermined`` — identical solutions and passive sets;
+  * ``rotate_atom`` / ``init_PGSE_multishell_interp`` +
+    ``interp_PGSE_from_multishell`` — <= 1e-7 (the reference's own FAST-mode
+    gate, test_PGSE_from_multishell.py:117-124), incl. the real UKBB fixture;
+  * ``gen_SoS_MRI``, ``monte_carlo_average``, DT converters,
+    ``cleanup_2fascicles`` — exact/1e-12 agreement;
+  * end-to-end ``MFModel.fit`` + ``write_nifti`` — every parameter map equal
+    to <= 1e-5 (the BASELINE.md north-star), same NIfTI file list.
+
+Shapes are kept small because the reference runs its Numba kernels as plain
+Python here (the Gram precompute is an O(Nseq*N1*N2) scalar loop).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import fixture_path, has_fixture, require_x64
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REF_ROOT = "/root/reference"
+
+# Make the numba/nibabel stand-ins importable BEFORE the reference package.
+for p in (os.path.join(_HERE, "_refstub"), _REF_ROOT):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+refmfu = pytest.importorskip(
+    "microstructure_fingerprinting.mf_utils",
+    reason="reference package not available")
+import microstructure_fingerprinting as refpkg  # noqa: E402
+
+from microstructure_fingerprinting_tpu.ops import nnls as mfn  # noqa: E402
+from microstructure_fingerprinting_tpu.ops import interp as mfi  # noqa: E402
+from microstructure_fingerprinting_tpu.ops import noise as mfnoise  # noqa: E402
+from microstructure_fingerprinting_tpu.ops import mc as mfmc  # noqa: E402
+from microstructure_fingerprinting_tpu.ops import dti as mfdti  # noqa: E402
+from microstructure_fingerprinting_tpu.models.mf import (  # noqa: E402
+    MFModel, cleanup_2fascicles)
+from microstructure_fingerprinting_tpu.utils import io as mfio  # noqa: E402
+from microstructure_fingerprinting_tpu import testing as mft  # noqa: E402
+
+
+def _assert_solver_tuple_equal(ours, refs, tol=1e-10):
+    w_o, isub_o, itot_o, obj_o, yrec_o = ours
+    w_r, isub_r, itot_r, obj_r, yrec_r = refs
+    np.testing.assert_allclose(np.atleast_1d(w_o), np.atleast_1d(w_r),
+                               atol=tol, rtol=0)
+    assert np.array_equal(np.atleast_1d(isub_o).astype(int),
+                          np.atleast_1d(isub_r).astype(int))
+    assert np.array_equal(np.atleast_1d(itot_o).astype(int),
+                          np.atleast_1d(itot_r).astype(int))
+    np.testing.assert_allclose(obj_o, obj_r, atol=tol, rtol=0)
+    np.testing.assert_allclose(yrec_o, yrec_r, atol=tol, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Solvers
+# ---------------------------------------------------------------------------
+
+def test_ref_solver_boundary_cases():
+    """Reference boundary vectors: exact 5-tuple agreement, K = 1 and 2."""
+    require_x64()
+    sqrt2, sqrt3 = np.sqrt(2.0), np.sqrt(3.0)
+    A1 = np.array([[0.0], [1.0], [0.0]])
+    Y1 = np.array([[1, 0, sqrt2 / 2, 0, sqrt2 / 2],
+                   [0, 0, -sqrt2 / 2, 2, sqrt2 / 2],
+                   [0, 1, 0, 0, 0]])
+    for i in range(Y1.shape[1]):
+        _assert_solver_tuple_equal(
+            mfn.solve_exhaustive_posweights(A1, Y1[:, i], np.array([1])),
+            refmfu.solve_exhaustive_posweights(A1, Y1[:, i], np.array([1])))
+
+    A2 = np.array([[0.5, sqrt3 * 0.5], [sqrt3 * 0.5, 0.5]])
+    Y2 = np.array([[-sqrt3 / 2, 0.5, -1, -sqrt3 / 2, 0.5001,
+                    0.5, sqrt3 / 2, sqrt2 / 2, -sqrt2 / 2.0],
+                   [0.5, -sqrt3 / 2, 0, 0.5001, -sqrt3 / 2,
+                    sqrt3 / 2, 0.5, sqrt2 / 2, -sqrt2 / 2.0]])
+    for i in range(Y2.shape[1]):
+        _assert_solver_tuple_equal(
+            mfn.solve_exhaustive_posweights(A2, Y2[:, i], np.array([1, 1])),
+            refmfu.solve_exhaustive_posweights(A2, Y2[:, i],
+                                               np.array([1, 1])))
+
+
+@pytest.mark.parametrize("dicsizes", [
+    [50],            # K=1 closed-form scan
+    [40, 50],        # K=2 Cramer sign cases
+    [30, 30, 1],     # K=3, N3=1 (the flagship 2-fasc + CSF shape)
+    [20, 25, 3],     # K=3, N3>1 (outer loop over sub-dict 3)
+    [10, 12, 1, 5],  # K=4 -> reference _4up scipy path
+])
+def test_ref_solver_random(dicsizes, rng):
+    """Random dictionaries: identical (w, ind_subdic, ind_totdic, min_obj)."""
+    require_x64()
+    dicsizes = np.array(dicsizes, dtype=np.int64)
+    Nseq = 60
+    A = rng.randn(Nseq, int(dicsizes.sum()))
+    # mix of signs exercises every Cramer sign branch; also test a
+    # correlated nonnegative dictionary (the realistic regime)
+    A_pos = np.abs(A) + 0.05
+    for Amat in (A, A_pos):
+        for _ in range(3):
+            y = rng.randn(Nseq)
+            _assert_solver_tuple_equal(
+                mfn.solve_exhaustive_posweights(Amat, y, dicsizes),
+                refmfu.solve_exhaustive_posweights(Amat, y, dicsizes))
+
+
+def test_ref_solver_noiseless_recovery(rng):
+    """Noiseless mixtures: both implementations recover the same atoms and
+    weights (reference test_exhaustive_fingerprinting.py:94-138 shape,
+    shrunk so the pure-Python reference kernels stay fast)."""
+    require_x64()
+    Natoms, Nseq = 40, 80
+    dicsizes = np.array([Natoms, Natoms, 1], dtype=np.int64)
+    A = rng.randn(Nseq, 2 * Natoms + 1)
+    for _ in range(3):
+        ids = [rng.randint(Natoms), Natoms + rng.randint(Natoms),
+               2 * Natoms]
+        w_gt = rng.rand(3)
+        y = A[:, ids] @ w_gt
+        ours = mfn.solve_exhaustive_posweights(A, y, dicsizes)
+        refs = refmfu.solve_exhaustive_posweights(A, y, dicsizes)
+        _assert_solver_tuple_equal(ours, refs, tol=1e-8)
+        assert np.array_equal(np.asarray(ours[2]).astype(int), ids)
+
+
+def test_ref_nnls_underdetermined(rng):
+    """Mildly-wide systems only: the reference's active-set loop (pure
+    Python, its numba decorator is commented out at mf_utils.py:660-662)
+    can CYCLE FOREVER on very wide random matrices (passive set grows past
+    m, the normal equations go singular) — verified by direct experiment
+    on (10, 30) inputs. At (8, 12) it terminates on 20/20 random draws and
+    agrees with our robustified implementation to ~1e-13."""
+    require_x64()
+    for trial in range(6):
+        X = rng.randn(8, 12)
+        y = rng.randn(8)
+        x_o, PP_o, w_o = mfn.nnls_underdetermined(X, y)
+        x_r, PP_r, w_r = refmfu.nnls_underdetermined(X, y)
+        np.testing.assert_allclose(x_o, x_r, atol=1e-10)
+        assert set(np.flatnonzero(x_o > 0)) == set(np.flatnonzero(x_r > 0))
+        np.testing.assert_allclose(w_o, w_r, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Rotation / interpolation
+# ---------------------------------------------------------------------------
+
+def _small_dense_workload(rng, num_atom=24):
+    sch = mft.make_dense_scheme(n_shells=4, dirs_per_shell=32, n_b0=6)
+    sig, _, _ = mft.make_dictionary(sch, num_atom=num_atom)
+    ordir = np.array([0.0, 0.0, 1.0])
+    return sch, sig, ordir
+
+
+def test_ref_rotate_atom(rng):
+    """rotate_atom: ours vs the reference scipy implementation, <= 1e-10."""
+    require_x64()
+    sch, sig, ordir = _small_dense_workload(rng)
+    S0 = np.ones_like(sig)
+    DIFF = 2.0e-9
+    for _ in range(4):
+        nd = rng.randn(3)
+        nd /= np.linalg.norm(nd)
+        ours = mfi.rotate_atom(sig, sch, ordir, nd, DIFF, S0)
+        refs = refmfu.rotate_atom(sig, sch, ordir, nd, DIFF, S0)
+        np.testing.assert_allclose(ours, refs, atol=1e-10, rtol=0)
+
+
+def test_ref_interp_multishell_synthetic(rng):
+    """init + FAST interp vs reference on a synthetic dense dictionary."""
+    require_x64()
+    sch, sig, ordir = _small_dense_workload(rng)
+    ref_interp = refmfu.init_PGSE_multishell_interp(sig, sch, ordir)
+    our_interp = mfi.init_PGSE_multishell_interp(sig, sch, ordir)
+    # target scheme: subset of rows with permuted order (exercises the
+    # G-shell mapping) using the same (Delta, delta, TE)
+    perm = rng.permutation(sch.shape[0])[:100]
+    target = sch[perm]
+    for _ in range(3):
+        nd = rng.randn(3)
+        nd /= np.linalg.norm(nd)
+        refs = refmfu.interp_PGSE_from_multishell(
+            target, nd, msinterp=ref_interp)
+        ours = mfi.interp_PGSE_from_multishell(
+            target, nd, msinterp=our_interp)
+        np.testing.assert_allclose(ours, refs, atol=1e-7, rtol=0)
+
+
+UKBB_MAT = "ukbb_90_dirs_dictionary_hcp_deltas.mat"
+
+
+@pytest.mark.skipif(not has_fixture(UKBB_MAT),
+                    reason="UKBB fixture unavailable")
+def test_ref_interp_ukbb_fixture(rng):
+    """Real UKBB dense dictionary: ours vs reference to <= 1e-7
+    (the reference's own FAST-mode equivalence gate,
+    test_PGSE_from_multishell.py:238-243)."""
+    require_x64()
+    dic = mfio.loadmat(fixture_path(UKBB_MAT))
+    sig = np.asarray(dic["dictionary"], dtype=np.float64)[:, :64]
+    sch = np.asarray(dic["sch_mat"], dtype=np.float64)
+    ordir = np.asarray(dic["orientation"], dtype=np.float64)
+    ref_interp = refmfu.init_PGSE_multishell_interp(sig, sch, ordir)
+    our_interp = mfi.init_PGSE_multishell_interp(sig, sch, ordir)
+    perm = rng.permutation(sch.shape[0])[:120]
+    target = sch[perm]
+    for _ in range(2):
+        nd = rng.randn(3)
+        nd /= np.linalg.norm(nd)
+        refs = refmfu.interp_PGSE_from_multishell(
+            target, nd, msinterp=ref_interp)
+        ours = mfi.interp_PGSE_from_multishell(
+            target, nd, msinterp=our_interp)
+        np.testing.assert_allclose(ours, refs, atol=1e-7, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Simulators / converters / cleanup
+# ---------------------------------------------------------------------------
+
+def test_ref_gen_sos_mri():
+    S0 = np.linspace(0.2, 2.0, 17)
+    # noiseless shortcut must agree exactly (reference mf_utils.py:2334-2335)
+    np.testing.assert_array_equal(mfnoise.gen_SoS_MRI(S0, 0.0, 4),
+                                  refmfu.gen_SoS_MRI(S0, 0.0, 4))
+    # noisy draws: same seed -> identical RNG consumption pattern is NOT
+    # guaranteed by contract, but both must match distributional invariants;
+    # assert the deterministic pieces (shape/dtype, sigma=0 columns)
+    sigma = np.zeros(17)
+    sigma[::2] = 0.0
+    out_r = refmfu.gen_SoS_MRI(S0, sigma, 1)
+    out_o = mfnoise.gen_SoS_MRI(S0, sigma, 1)
+    np.testing.assert_array_equal(out_o, out_r)
+
+
+def test_ref_monte_carlo_average(rng):
+    """Reference kernel layout (mf_utils.py:2758-2810): sim_phases
+    (n_ref * num_spins, dim) stacked per reference sequence."""
+    require_x64()
+    n_seq, n_ref, n_spin, dim = 6, 3, 50, 3
+    phases = rng.randn(n_ref * n_spin, dim)
+    delta_mapping = np.array([0, 1, 2, 0, 1, 2], dtype=np.int64)
+    gscaling = rng.rand(n_seq, dim)
+    Dscaling = 0.8
+    refs = refmfu.monte_carlo_average(phases, delta_mapping, gscaling,
+                                      Dscaling, n_spin)
+    ours = mfmc.monte_carlo_average(phases, delta_mapping, gscaling,
+                                    Dscaling, n_spin)
+    np.testing.assert_allclose(np.asarray(ours), refs, atol=1e-12)
+
+
+def test_ref_dt_converters(rng):
+    require_x64()
+    for order in ("row", "column", "diagonal"):
+        M = rng.randn(3, 3)
+        DT = (M + M.T) / 2
+        vec_r = refmfu.DT_col_to_vec(DT, order) \
+            if hasattr(refmfu, "DT_col_to_vec") else None
+        vec_o = np.asarray(mfdti.DT_array_to_vec(DT, order))
+        vec_ref = refmfu.DT_array_to_vec(DT, order)
+        np.testing.assert_allclose(vec_o, vec_ref, atol=1e-14)
+        back_o = np.asarray(mfdti.DT_vec_to_2Darray(vec_ref, order))
+        back_r = refmfu.DT_vec_to_2Darray(vec_ref, order)
+        np.testing.assert_allclose(back_o, back_r, atol=1e-14)
+        del vec_r
+
+
+def test_ref_cleanup_2fascicles(rng):
+    """cleanup_2fascicles on random weight/orientation fields: identical
+    surviving peaks and fascicle counts."""
+    require_x64()
+    sh = (6, 5, 2)
+    mask = np.ones(sh)
+    frac1 = rng.rand(*sh)
+    frac2 = rng.rand(*sh) * 0.6
+    mu1 = rng.randn(*sh, 3)
+    mu1 /= np.linalg.norm(mu1, axis=-1, keepdims=True)
+    # make some pairs nearly parallel to hit the merge branch
+    mu2 = np.where(rng.rand(*sh, 1) < 0.3,
+                   mu1 + 0.05 * rng.randn(*sh, 3), rng.randn(*sh, 3))
+    mu2 /= np.linalg.norm(mu2, axis=-1, keepdims=True)
+    pk_o, nf_o = cleanup_2fascicles(frac1, frac2, 'peaks', mu1, mu2, mask)
+    pk_r, nf_r = refpkg.cleanup_2fascicles(frac1, frac2, 'peaks',
+                                           mu1, mu2, mask)
+    np.testing.assert_array_equal(nf_o, nf_r)
+    np.testing.assert_allclose(pk_o, pk_r, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end MFModel.fit
+# ---------------------------------------------------------------------------
+
+def _tiny_fit_problem(rng, num_atom=32, num_ear=2):
+    """Small dictionary + volume driving every compartment combination."""
+    sch = mft.make_dense_scheme(n_shells=4, dirs_per_shell=24, n_b0=6)
+    sig, dp, _ = mft.make_dictionary(sch, num_atom=num_atom)
+    dic = {
+        "dictionary": sig, "sch_mat": sch,
+        "orientation": np.array([0.0, 0.0, 1.0]),
+        "num_atom": num_atom, "num_ear": num_ear,
+        "fasc_propnames": ["dpar"], "dpar": dp,
+        "T2_csf": 2.0, "DIFF_csf": 3.0e-9,
+        "T2_ear": 2.0, "DIFF_ear": np.linspace(0.8e-9, 1.6e-9, num_ear),
+    }
+    sh = (4, 1, 3)
+    n_vox = int(np.prod(sh))
+    mask = np.ones(sh)
+    # voxel configs: 2-fasc+CSF mostly, one 1-fasc, one 0-fasc CSF-only,
+    # two with EAR
+    numfasc = np.full(sh, 2.0)
+    numfasc.flat[3] = 1.0
+    numfasc.flat[7] = 0.0
+    csf_mask = np.ones(sh)
+    ear_mask = np.zeros(sh)
+    ear_mask.flat[2] = 1.0
+    ear_mask.flat[9] = 1.0
+    peaks = rng.randn(*sh, 6)
+    peaks[..., :3] /= np.linalg.norm(peaks[..., :3], axis=-1, keepdims=True)
+    peaks[..., 3:] /= np.linalg.norm(peaks[..., 3:], axis=-1, keepdims=True)
+    # synthesize data as noisy mixtures via the reference's own rotate_atom
+    b = refmfu.import_PGSE_scheme(sch)  # validation passthrough
+    data = np.zeros(sh + (sch.shape[0],))
+    S0 = np.ones(sch.shape[0])
+    for v in range(n_vox):
+        idx = np.unravel_index(v, sh)
+        y = 0.02 * np.abs(rng.randn(sch.shape[0]))
+        for k in range(int(numfasc.flat[v])):
+            col = refmfu.rotate_atom(
+                sig[:, rng.randint(num_atom)], sch,
+                dic["orientation"], peaks[idx][3 * k:3 * k + 3],
+                2.0e-9, S0)
+            y = y + rng.rand() * np.squeeze(col)
+        data[idx] = 350.0 * y
+    del b
+    return dic, data, mask, numfasc, peaks, csf_mask, ear_mask, sch
+
+
+def test_ref_fit_end_to_end(rng, tmp_path):
+    """The north-star check (BASELINE.md): reference MFModel.fit vs this
+    framework on the same dictionary/volume — every parameter map <= 1e-5,
+    same param_names, same write_nifti file list."""
+    require_x64()
+    (dic, data, mask, numfasc, peaks, csf_mask, ear_mask,
+     sch) = _tiny_fit_problem(rng)
+
+    ref_model = refpkg.MFModel(dict(dic))
+    ref_fit = ref_model.fit(data, mask, numfasc, peaks=peaks,
+                            pgse_scheme=sch, csf_mask=csf_mask,
+                            ear_mask=ear_mask, verbose=0, parallel=False)
+
+    our_model = MFModel(dict(dic))
+    our_fit = our_model.fit(data, mask, numfasc, peaks=peaks,
+                            pgse_scheme=sch, csf_mask=csf_mask,
+                            ear_mask=ear_mask, verbose=0)
+
+    assert our_fit.param_names == ref_fit.param_names
+    for p in ref_fit.param_names:
+        np.testing.assert_allclose(
+            getattr(our_fit, p), getattr(ref_fit, p), atol=1e-5, rtol=0,
+            err_msg="parameter map %r diverges from the reference" % p)
+
+    aff = np.eye(4)
+    ours = our_fit.write_nifti(str(tmp_path / "ours.nii.gz"), affine=aff)
+    refs = ref_fit.write_nifti(str(tmp_path / "refs.nii.gz"), affine=aff)
+    assert ([os.path.basename(f).replace("ours", "X") for f in ours]
+            == [os.path.basename(f).replace("refs", "X") for f in refs])
