@@ -265,13 +265,19 @@ class MFModel(object):
             pgse_scheme=None, bvals=None, bvecs=None,
             csf_mask=None, ear_mask=None,
             verbose=1, parallel=False, batch_size=None, refine=None,
-            topm=16, engine="auto"):
+            topm=16, engine="auto", mesh_shape=None):
         """Fit the fingerprinting model in every masked voxel.
 
         Same argument contract as the reference ``MFModel.fit``
         (mf.py:516-616): every array argument also accepts a NIfTI path
         (and scalars for masks / numfasc). ``parallel=True`` shards voxel
-        batches over all jax devices instead of spawning processes.
+        batches over all jax devices instead of spawning processes;
+        ``mesh_shape=(n_data, n_atoms)`` optionally shapes the device mesh
+        (default: pure data parallelism over all devices). With
+        ``n_atoms > 1`` the 2-fascicle+CSF candidate scan additionally
+        shards the second sub-dictionary's atom axis (tensor parallelism
+        with an offset-corrected global first-minimum;
+        parallel/mesh.sharded_df3_candidates).
         ``refine`` selects float64 host re-scoring of the accelerator's
         top-M candidates (default: enabled exactly when jax runs in float32,
         i.e. on TPU, where it restores reference float64 selection quality).
@@ -447,7 +453,12 @@ class MFModel(object):
         mesh = None
         if parallel and len(jax.devices()) > 1:
             from ..parallel import mesh as pmesh
-            mesh = pmesh.build_mesh(n_atoms=1)
+            if mesh_shape is not None:
+                n_data_req, n_atoms_req = (int(x) for x in mesh_shape)
+                mesh = pmesh.build_mesh(n_data=n_data_req,
+                                        n_atoms=n_atoms_req)
+            else:
+                mesh = pmesh.build_mesh(n_atoms=1)
             n_data = mesh.shape["data"]
             batch = max(batch // n_data, 1) * n_data  # divisible chunks
         st_est = time.time()
@@ -499,18 +510,19 @@ class MFModel(object):
 
         if use_fast and any(fast_covers(k) for k in configs):
             rotator = self._grouped_rotator(plan_h, pgse_scheme)
-            if mesh is None:
-                # cold-start diet: compile every bucket's heavy programs
-                # up front in the fixed order that makes their
-                # persistent-cache keys reproducible across processes;
-                # the returned AOT handles let the dispatch loop skip
-                # each program's first-call re-trace
-                aot = fit_mod.prewarm_fast_programs(
-                    self.ms_interpolator, plan_h, tables[1], sig_csf,
-                    sig_ear, [k for k in sorted(configs)
-                              if fast_covers(k)],
-                    batch=batch_size or 512, rotator=rotator,
-                    health=self._kernel_health, verbose=VRB)
+            # cold-start diet: compile every bucket's heavy programs
+            # up front in the fixed order that makes their
+            # persistent-cache keys reproducible across processes;
+            # the returned AOT handles let the dispatch loop skip
+            # each program's first-call re-trace. Under a mesh the
+            # programs are lowered with the chunk loop's shardings.
+            aot = fit_mod.prewarm_fast_programs(
+                self.ms_interpolator, plan_h, tables[1], sig_csf,
+                sig_ear, [k for k in sorted(configs)
+                          if fast_covers(k)],
+                batch=batch if mesh is not None else (batch_size or 512),
+                rotator=rotator, health=self._kernel_health, verbose=VRB,
+                mesh=mesh)
 
         # progress cadence contract (reference mf.py:948-949, 455-460):
         # at verbose >= 3, one line every `disp_int` voxels, at most

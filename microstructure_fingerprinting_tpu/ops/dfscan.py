@@ -43,6 +43,16 @@ _S1 = jnp.float32(2.0 ** -7)
 _S2 = jnp.float32(2.0 ** -15)
 _S3 = jnp.float32(2.0 ** -23)
 _TOL = jnp.float32(100 * 1.1920929e-07)  # 100 eps_f32 (cf. mf_utils:480)
+# Conditioning floor for DOUBLE-FLOAT-evaluated determinants (normalized
+# Gram entries, O(1)): the df polynomials resolve cancellation down to the
+# ~1e-14 absolute noise of their lo-channels, so supports are only rejected
+# when the reference's float64 Cramer solve would itself be garbage. The
+# f32-grade _TOL guard (above) rejected real optima: dictionaries with
+# highly correlated atoms (duplicated or near-duplicate fingerprints, the
+# realistic MC regime) produce valid all-positive solutions at
+# det(G) ~ 1e-6..1e-5, which the reference resolves exactly in float64
+# (mf_utils.py:554-573 divides by D with no conditioning guard at all).
+_TOL_DET = jnp.float32(1e-12)
 
 
 
@@ -259,8 +269,10 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
         _neg(_mul(d3, Rp2))])
     res13_row = num13 / _val(det13)
     # {1,3} feasibility (2-var case logic, f32)
-    w1D_13 = _val(d3) * _val(p_) - _val(b_) * _val(r_)
-    w2D_13 = _val(d1) * _val(r_) - _val(b_) * _val(p_)
+    # 2-var case numerators df-accurate (near-duplicate atoms cancel
+    # these to ~1e-6; see _TOL_DET)
+    w1D_13 = _accumulate([_mul(d3, p_), _neg(_mul(b_, r_))])
+    w2D_13 = _accumulate([_mul(d1, r_), _neg(_mul(b_, p_))])
     res13_row, feas13 = _two_var_cases(
         res13_row, w1D_13, w2D_13, _val(p_), _val(r_),
         res1_row, (_val(w_) - _val(r_) ** 2 / _val(d3)), _val(w_))
@@ -285,8 +297,8 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
         _neg(_mul(Cc2, w_)), _scale(_mul(Ccq, r_), 2.0),
         _neg(_mul(d3, Cq2))])
     res23_col = num23 / _val(det23)
-    w1D_23 = _val(d3) * _val(q_) - _val(c_) * _val(r_)
-    w2D_23 = _val(d2) * _val(r_) - _val(c_) * _val(q_)
+    w1D_23 = _accumulate([_mul(d3, q_), _neg(_mul(c_, r_))])
+    w2D_23 = _accumulate([_mul(d2, r_), _neg(_mul(c_, q_))])
     res23_col, feas23 = _two_var_cases(
         res23_col, w1D_23, w2D_23, _val(q_), _val(r_),
         res2_col, (_val(w_) - _val(r_) ** 2 / _val(d3)), _val(w_))
@@ -325,33 +337,44 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
 
         # ---- support {1,2,3}: bordered 4x4 det, compensated ----
         aa = a12
+        qaa = _mul(aa, aa)
         det4 = _accumulate([
             _mul(Rb2t, U1c), _mul(Rbpt, U2c), _mul(d1t, U3c),
             _mul(Rp2t, U4c),
             _mul(aa, _add(_mul(bt, V1c), _mul(pt, V2c))),
-            _mul(_mul(aa, aa), C2vv)])
-        # detG3 (f32: only a RELATIVE error on the divisor)
-        af = _val(aa)
-        d1tf, btf, ptf = _val(d1t), _val(bt), _val(pt)
-        d2cf, ccf, qcf = _val(d2c), _val(cc), _val(qc)
-        d3vf = _val(d3vv)
-        detG3 = (-af * af * d3vf + 2 * af * btf * ccf
-                 + d1tf * (d2cf * d3vf - ccf * ccf)
-                 - btf * btf * d2cf)
-        ok3 = detG3 > _TOL * d1tf * d2cf * d3vf
-        res123 = jnp.where(ok3, det4 / jnp.where(ok3, detG3, 1.0), jnp.inf)
+            _mul(qaa, C2vv)])
+        # detG3 and the Cramer numerators in DOUBLE-FLOAT: the O(1)
+        # normalized-Gram terms cancel to ~1e-6 for highly correlated
+        # atoms (the realistic MC-dictionary regime), which plain f32
+        # cannot resolve — the old f32 guard rejected genuinely optimal
+        # supports the reference solves exactly in float64
+        # (mf_utils.py:554-573). det23/det13 are the hoisted column/row
+        # cofactors d2 d3 - c^2 and d1 d3 - b^2 computed above.
+        btcc = _mul(bt, cc)
+        Zac = _add(_mul(aa, d3vv), _neg(btcc))       # a d3 - b c
+        Wac = _add(_mul(aa, cc), _neg(_mul(d2c, bt)))  # a c - d2 b
+        Vg = _add(_mul(d1t, cc), _neg(_mul(bt, aa)))   # d1 c - b a
+        det23c = cold(det23)
+        det13r = rowd(sld(det13))
+        detG3a = _accumulate([
+            _mul(d1t, det23c), _neg(_mul(qaa, d3vv)),
+            _scale(_mul(aa, btcc), 2.0), _neg(_mul(Rb2t, d2c))])
+        ok3 = detG3a > _TOL_DET
+        res123 = jnp.where(ok3, det4 / jnp.where(ok3, detG3a, 1.0),
+                           jnp.inf)
 
-        # full-support feasibility: Cramer numerator signs (f32)
-        D1 = (ptf * (d2cf * _val(d3vv) - ccf * ccf)
-              - qcf * (af * _val(d3vv) - ccf * btf)
-              + rf * (af * ccf - d2cf * btf))
-        D2 = (-ptf * (af * _val(d3vv) - ccf * btf)
-              + qcf * (d1tf * _val(d3vv) - btf * btf)
-              - rf * (d1tf * ccf - af * btf))
-        D3 = (ptf * (af * ccf - btf * d2cf)
-              - qcf * (d1tf * ccf - btf * af)
-              + rf * (d1tf * d2cf - af * af))
-        full = (D1 >= -_TOL) & (D2 >= -_TOL) & (D3 >= -_TOL)
+        # full-support feasibility: Cramer numerator signs, df-accurate
+        D1 = _accumulate([_mul(pt, det23c), _neg(_mul(qc, Zac)),
+                          _mul(rv, Wac)])
+        D2 = _accumulate([_neg(_mul(pt, Zac)), _mul(qc, det13r),
+                          _neg(_mul(rv, Vg))])
+        D3 = _accumulate([_mul(pt, Wac), _neg(_mul(qc, Vg)),
+                          _mul(rv, _add(_mul(d1t, d2c), _neg(qaa)))])
+        full = (D1 >= -_TOL_DET) & (D2 >= -_TOL_DET) & (D3 >= -_TOL_DET)
+
+        af = _val(aa)
+        d1tf, ptf = _val(d1t), _val(pt)
+        d2cf, qcf = _val(d2c), _val(qc)
 
         # ---- support {1,2}: bordered 3x3 det, compensated ----
         num12 = _accumulate([
@@ -359,10 +382,10 @@ def df3_candidates(A1, A2, a3, y, M=8, tile=256):
             _neg(_mul(Rp2t, d2c)),
             _scale(_mul(aa, _mul(pt, qc)), 2.0),
             _neg(_mul(_mul(aa, aa), wv))])
-        det12 = d1tf * d2cf - af * af
+        det12 = _accumulate([_mul(d1t, d2c), _neg(qaa)])
         res12 = num12 / det12
-        w1D_12 = d2cf * ptf - af * qcf
-        w2D_12 = d1tf * qcf - af * ptf
+        w1D_12 = _accumulate([_mul(d2c, pt), _neg(_mul(aa, qc))])
+        w2D_12 = _accumulate([_mul(d1t, qc), _neg(_mul(aa, pt))])
         res1_t = sl(res1_row)[:, :, None]
         res12, _ = _two_var_cases(res12, w1D_12, w2D_12, ptf, qcf,
                                   res1_t, res2_col[:, None, :],
@@ -525,15 +548,17 @@ def _sub1_df(d, p, w):
 
 
 def _sub2_df(dA, dB, g, pA, pB, w):
-    """Support {a, b}: bordered 3x3 det / det2, unconstrained-sign feas."""
+    """Support {a, b}: bordered 3x3 det / det2, df-accurate determinant
+    and weight-sign numerators (near-duplicate atoms cancel det2 and the
+    n's to ~1e-6, unresolvable in plain f32; see _TOL_DET)."""
     det2 = _val(_add(_mul(dA, dB), _neg(_mul(g, g))))
     num = _accumulate([
         _dfm(dA, dB, w), _neg(_dfm(g, g, w)),
         _scale(_dfm(g, pA, pB), 2.0),
         _neg(_dfm(dA, pB, pB)), _neg(_dfm(dB, pA, pA))])
-    n1 = _val(dB) * _val(pA) - _val(g) * _val(pB)
-    n2 = _val(dA) * _val(pB) - _val(g) * _val(pA)
-    feas = (det2 > _TOL * _val(dA) * _val(dB)) & (n1 >= 0) & (n2 >= 0)
+    n1 = _accumulate([_mul(dB, pA), _neg(_mul(g, pB))])
+    n2 = _accumulate([_mul(dA, pB), _neg(_mul(g, pA))])
+    feas = (det2 > _TOL_DET) & (n1 >= 0) & (n2 >= 0)
     return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
 
 
@@ -558,20 +583,34 @@ def _sub3_df(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w):
         _dfm(pA, pA, U4),
         _mul(gAB, _add(_mul(gAC, V1), _mul(pA, V2))),
         _mul(_mul(gAB, gAB), C2)])
-    af, bf, cf = _val(gAB), _val(gAC), _val(gBC)
-    dAf, dBf, dCf = _val(dA), _val(dB), _val(dC)
-    pAf, pBf, pCf = _val(pA), _val(pB), _val(pC)
-    det3 = (dAf * (dBf * dCf - cf * cf) - af * (af * dCf - cf * bf)
-            + bf * (af * cf - dBf * bf))
-    D1 = (pAf * (dBf * dCf - cf * cf) - pBf * (af * dCf - cf * bf)
-          + pCf * (af * cf - dBf * bf))
-    D2 = (-pAf * (af * dCf - bf * cf) + pBf * (dAf * dCf - bf * bf)
-          - pCf * (dAf * cf - af * bf))
-    D3 = (pAf * (af * cf - bf * dBf) - pBf * (dAf * cf - bf * af)
-          + pCf * (dAf * dBf - af * af))
-    feas = ((det3 > _TOL * dAf * dBf * dCf)
+    det3, D1, D2, D3 = _det3_cramer_df(gAB, dA, dB, dC, gAC, gBC,
+                                       pA, pB, pC)
+    feas = ((det3 > _TOL_DET)
             & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
     return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
+
+
+def _det3_cramer_df(gAB, dA, dB, dC, gAC, gBC, pA, pB, pC):
+    """3x3 Gram determinant + the three Cramer numerators, df-accurate.
+
+    The O(1) normalized-Gram products cancel to ~1e-6 for highly
+    correlated atom pairs (the realistic MC-dictionary regime); plain f32
+    evaluation is then pure noise, which used to reject genuinely optimal
+    supports the reference resolves in float64 (mf_utils.py:554-573).
+    All inputs are df tuples; returns collapsed f32 values whose RELATIVE
+    error is ~eps_f32 even under full cancellation (compensated sums).
+    """
+    X = _add(_mul(dB, dC), _neg(_mul(gBC, gBC)))    # dB dC - gBC^2
+    Z = _add(_mul(gAB, dC), _neg(_mul(gBC, gAC)))   # a dC - gBC gAC
+    W = _add(_mul(gAB, gBC), _neg(_mul(dB, gAC)))   # a gBC - dB gAC
+    Y = _add(_mul(dA, dC), _neg(_mul(gAC, gAC)))    # dA dC - gAC^2
+    V = _add(_mul(dA, gBC), _neg(_mul(gAC, gAB)))   # dA gBC - gAC a
+    T = _add(_mul(dA, dB), _neg(_mul(gAB, gAB)))    # dA dB - a^2
+    det3 = _accumulate([_mul(dA, X), _neg(_mul(gAB, Z)), _mul(gAC, W)])
+    D1 = _accumulate([_mul(pA, X), _neg(_mul(pB, Z)), _mul(pC, W)])
+    D2 = _accumulate([_neg(_mul(pA, Z)), _mul(pB, Y), _neg(_mul(pC, V))])
+    D3 = _accumulate([_mul(pA, W), _neg(_mul(pB, V)), _mul(pC, T)])
+    return det3, D1, D2, D3
 
 
 def _df_div(x, y):
@@ -887,12 +926,11 @@ def _sub2_point(aa, d1t, d2c, pt, qc, wv):
         _dfm(d1t, d2c, wv), _neg(_dfm(aa, aa, wv)),
         _scale(_dfm(aa, pt, qc), 2.0),
         _neg(_dfm(d1t, qc, qc)), _neg(_dfm(d2c, pt, pt))])
-    af, d1f, d2f = _val(aa), _val(d1t), _val(d2c)
-    pf, qf = _val(pt), _val(qc)
-    det2 = d1f * d2f - af * af
-    n1 = d2f * pf - af * qf
-    n2 = d1f * qf - af * pf
-    feas = (det2 > _TOL * d1f * d2f) & (n1 >= 0) & (n2 >= 0)
+    # determinant and weight-sign numerators df-accurate (see _TOL_DET)
+    det2 = _accumulate([_mul(d1t, d2c), _neg(_mul(aa, aa))])
+    n1 = _accumulate([_mul(d2c, pt), _neg(_mul(aa, qc))])
+    n2 = _accumulate([_mul(d1t, qc), _neg(_mul(aa, pt))])
+    feas = (det2 > _TOL_DET) & (n1 >= 0) & (n2 >= 0)
     return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
 
 
@@ -914,18 +952,9 @@ def _sub3_point(aa, d1t, d2c, dCe, bt, cc, pt, qc, rCe, wv):
         _dfm(pt, pt, U4),
         _mul(aa, _add(_mul(bt, V1), _mul(pt, V2))),
         _mul(_mul(aa, aa), C2)])
-    af, bf, cf = _val(aa), _val(bt), _val(cc)
-    d1f, d2f, dCf = _val(d1t), _val(d2c), _val(dCe)
-    pf, qf, rCf = _val(pt), _val(qc), _val(rCe)
-    det3 = (d1f * (d2f * dCf - cf * cf) - af * (af * dCf - cf * bf)
-            + bf * (af * cf - d2f * bf))
-    D1 = (pf * (d2f * dCf - cf * cf) - qf * (af * dCf - cf * bf)
-          + rCf * (af * cf - d2f * bf))
-    D2 = (-pf * (af * dCf - bf * cf) + qf * (d1f * dCf - bf * bf)
-          - rCf * (d1f * cf - af * bf))
-    D3 = (pf * (af * cf - bf * d2f) - qf * (d1f * cf - bf * af)
-          + rCf * (d1f * d2f - af * af))
-    feas = ((det3 > _TOL * d1f * d2f * dCf)
+    det3, D1, D2, D3 = _det3_cramer_df(aa, d1t, d2c, dCe, bt, cc,
+                                       pt, qc, rCe)
+    feas = ((det3 > _TOL_DET)
             & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
     return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
 

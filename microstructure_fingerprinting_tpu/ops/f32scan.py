@@ -117,7 +117,12 @@ def _sub2(dA, dB, g, pA, pB, w, det_tol):
     wa = (pA - g * wb) * invA
     feas = stab & (piv > det_tol * dB) & (wa >= 0) & (wb >= 0)
     res = w - pA * pA * invA - t * wb
-    return _interval(feas, stab, res, jnp.abs(wa) + jnp.abs(wb),
+    ws = jnp.abs(wa) + jnp.abs(wb)
+    # quadratic term: the pivot's ~eps cancellation error enters the
+    # subtracted t^2/piv term multiplied by w^2 (sound for the
+    # ill-conditioned supports admitted since the det gates moved to the
+    # df scans' ~1e-12 floor; negligible widening for O(1) weights)
+    return _interval(feas, stab, res, ws + ws * ws,
                      excl=bool(det_tol > 0))
 
 
@@ -141,8 +146,8 @@ def _sub3(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w, det_tol):
     feas = (stab & (pivB * pivC > det_tol * dB * dC)
             & (wa >= 0) & (wb >= 0) & (wc >= 0))
     res = w - pA * pA * invA - tB * tB * invB - tC * wc
-    return _interval(feas, stab, res,
-                     jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc),
+    ws = jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc)
+    return _interval(feas, stab, res, ws + ws * ws,
                      excl=bool(det_tol > 0))
 
 
@@ -258,7 +263,8 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     feas12 = stabA & (jnp.minimum(w1, w2) > 0)
     res12 = rho1t - tA * w2
     res12 = jnp.where(jnp.isnan(res12), INF, res12)
-    err12 = KER * (1.0 + w1 + w2)
+    s12 = w1 + w2
+    err12 = KER * (1.0 + s12 + s12 * s12)
     lo = jnp.where(feas12, res12 - err12, jnp.where(stabA, INF, -KER))
     up = jnp.where(feas12, res12 + err12, INF)
 
@@ -271,15 +277,19 @@ def _rowmin3_kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     w2f = tB * invB
     w1f = kap_ppt - ap * invd1pt * w2f
     w3f = u3v - kap_bt * w1f - kapcc * w2f
-    ok3 = d1pt * pivB > TOL * d1t * d2c
+    # no det gate (mirrors the XLA body): the one-pass scan resolves
+    # detG3 in double-float down to ~1e-12, far below f32 resolution —
+    # stability-guarded evaluation with the weight-scaled radius is the
+    # sound bound for ill-conditioned supports
     tolw = TOL * invd3v * invd1pt * invB
     # relaxed feasibility (w >= -tolw): err123 keeps the |w| form — the
     # slightly-negative weights it admits must still inflate the radius
-    feas123 = (stabB & ok3
+    feas123 = (stabB
                & (jnp.minimum(jnp.minimum(w1f, w2f), w3f) >= -tolw))
     res123 = rho13t - tB * w2f
     res123 = jnp.where(jnp.isnan(res123), INF, res123)
-    err123 = KER * (1.0 + jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
+    s123 = jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f)
+    err123 = KER * (1.0 + s123 + s123 * s123)
     lo = jnp.minimum(lo, jnp.where(feas123, res123 - err123,
                                    jnp.where(stabB, INF, -KER)))
     up = jnp.minimum(up, jnp.where(feas123, res123 + err123, INF))
@@ -538,8 +548,9 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         w2 = tA * invA
         w1 = kap_pt - a * invd1t * w2
         feas12 = stabA & (w1 > 0) & (w2 > 0)
+        ws12 = jnp.abs(w1) + jnp.abs(w2)
         lo, up = _interval(feas12, stabA, rho1t - tA * w2,
-                           jnp.abs(w1) + jnp.abs(w2))
+                           ws12 + ws12 * ws12)
 
         # support {1,2,3}: eliminate 3 (hoisted) -> 1 -> 2. Mirrors the
         # reference full-support test detG3 > tol * d1*d2*d3 and
@@ -553,13 +564,16 @@ def rowmin_3(A1, A2, a3, y, tile=256, pallas=False, interpret=False,
         w2f = tB * invB
         w1f = kap_ppt - ap * invd1pt * w2f
         w3f = u3[:, None, :] - kap_bt * w1f - kapcc * w2f
-        ok3 = d1pt * pivB > _TOL * d1t * d2c
+        # the mirrored one-pass scan now resolves detG3 in double-float
+        # down to ~1e-12 (dfscan._TOL_DET) — far below what this f32 pass
+        # can check — so no det gate here: stability-guarded evaluation
+        # with the weight-scaled interval width is the sound bound
         tolw = _TOL * invd3e * invd1pt * invB
-        feas123 = (stabB & ok3 & (w1f >= -tolw) & (w2f >= -tolw)
+        feas123 = (stabB & (w1f >= -tolw) & (w2f >= -tolw)
                    & (w3f >= -tolw))
+        ws123 = jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f)
         lo2, up2 = _interval(
-            feas123, stabB, rho13t - tB * w2f,
-            jnp.abs(w1f) + jnp.abs(w2f) + jnp.abs(w3f))
+            feas123, stabB, rho13t - tB * w2f, ws123 + ws123 * ws123)
         lo, up = _fold(lo, up, lo2, up2)
 
         rowi = st + lax.broadcasted_iota(jnp.int32, (1, tile, 1), 1)
@@ -655,7 +669,8 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
     # err radii are consumed only under feasibility (fold), where every
     # weight is >= 0 — the |w| sums reduce to plain sums (abs-free), and
     # the sign conjunctions to one min-chain compare
-    err12 = KER * (1.0 + w1 + w2)
+    s12 = w1 + w2
+    err12 = KER * (1.0 + s12 + s12 * s12)
     lo = jnp.full_like(a, INF)
     up = jnp.full_like(a, INF)
     lo, up = fold(lo, up, zA, jnp.minimum(w1, w2) >= 0, res12, err12)
@@ -678,7 +693,8 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w1t = kap_ppx - ap * invd1px * w2t
         w3t = ux - L1x * w1t - kap_cx * w2t
         res3 = _sanit(rho1x - tB * w2t)
-        err3 = KER * (1.0 + w1t + w2t + w3t)
+        s3b = w1t + w2t + w3t
+        err3 = KER * (1.0 + s3b + s3b * s3b)
         lo, up = fold(lo, up, zB,
                       jnp.minimum(jnp.minimum(w1t, w2t), w3t) >= 0,
                       res3, err3)
@@ -709,7 +725,8 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w4f = u4 - L14 * w1f - L24 * w2f
         w3f = u3 - L43 * w4f - L13 * w1f - kap_c3 * w2f
         resF = _sanit(rho1f - pi2 * w2f)
-        errF = KER4 * (1.0 + w1f + w2f + w3f + w4f)
+        sFb = w1f + w2f + w3f + w4f
+        errF = KER4 * (1.0 + sFb + sFb * sFb)
         lo, up = fold(lo, up, zF,
                       jnp.minimum(jnp.minimum(w1f, w2f),
                                   jnp.minimum(w3f, w4f)) >= 0,
@@ -864,7 +881,7 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     # ---- block-1-free floor (upper bounds only) ----
     upf = w_ + KERR
     for lo_s, up_s in (_sub1(d3e, r3e, w4), _sub1(d4e, r4e, w4),
-                       _sub2(d3e, d4e, ge, r3e, r4e, w4, _TOL)):
+                       _sub2(d3e, d4e, ge, r3e, r4e, w4, 0.0)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
     d2e = d2.reshape(B, N2w, 1, 1)
     q2e = q_.reshape(B, N2w, 1, 1)
@@ -875,10 +892,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     # selection (colmin) must see them; their up side is the floor
     lo_c_sup = jnp.full((B, N2w), jnp.inf, jnp.float32)
     for lo_s, up_s in (_sub1(d2e, q2e, w4),
-                       _sub2(d2e, d3e, c3e, q2e, r3e, w4, _TOL),
-                       _sub2(d2e, d4e, c4e, q2e, r4e, w4, _TOL),
+                       _sub2(d2e, d3e, c3e, q2e, r3e, w4, 0.0),
+                       _sub2(d2e, d4e, c4e, q2e, r4e, w4, 0.0),
                        _sub3(d2e, d3e, d4e, c3e, c4e, ge, q2e, r3e, r4e,
-                             w4, _TOL)):
+                             w4, 0.0)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
         lo_c_sup = jnp.minimum(lo_c_sup,
                                jnp.min(lo_s.reshape(B, N2w, -1), axis=2))
@@ -890,10 +907,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     b3e = b3[:, :, :, None]
     b4e = b4[:, :, None, :]
     lo_r, up_r = _sub1(d1, p_, we2)
-    for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, _TOL),
-                       _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
+    for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, 0.0),
+                       _sub2(d1e, d4e, b4e, p1e, r4e, w4, 0.0),
                        _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
-                             r4e, w4, _TOL)):
+                             r4e, w4, 0.0)):
         lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, N1w, -1), axis=2))
         up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, N1w, -1), axis=2))
 

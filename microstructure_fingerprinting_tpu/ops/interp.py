@@ -60,13 +60,19 @@ def _build_shell_knots(dot, sig_rows):
 
     ``np.unique`` (no extra tolerance) matches the reference's FAST-mode
     initializer bit-for-bit: the |g.n| of near-antipodal direction pairs
-    differ by ~1 ulp and are KEPT as distinct knots. That ulp-wide edge
-    segment is what makes scipy's ``fill_value='extrapolate'`` behave as a
-    constant beyond the last knot when the top |dot| is (ulp-)duplicated
-    with equal signals, and our lerp kernels reproduce it: the edge slope
-    (y1-y0)/ulp is 0 when y1==y0, and the denom>0 guards return y0 when
-    the f32 device cast collapses the segment to zero width (verified by
-    tests/test_reference_parity.py::test_ref_interp_*).
+    differ by ~1 ulp and are KEPT as distinct knots, so scipy's
+    ``fill_value='extrapolate'`` edge slope (y1-y0)/(1 ulp) can be a real
+    amplified quantity the reference pipeline genuinely produces.
+
+    To reproduce that extrapolation in EVERY evaluator — including the
+    grouped-rotation MATMUL form (1-t)*y0 + t*y1, which is catastrophically
+    cancellative when |t| ~ 1e13 — the table is extended with VIRTUAL EDGE
+    KNOTS at x = -1 and x = 2 lying exactly on scipy's extrapolation lines
+    (computed here in float64 from the first/last real segment). Every
+    query |g.n| in [0, 1] is then an interior lerp on a well-conditioned
+    segment, and the value equals scipy's to the last ulp (verified by
+    tests/test_reference_parity.py::test_ref_interp_* and
+    test_ref_fit_end_to_end).
     """
     xs, first_idx = np.unique(dot, return_index=True)
     ys = sig_rows[first_idx, :]
@@ -77,6 +83,16 @@ def _build_shell_knots(dot, sig_rows):
         ys = np.concatenate((np.mean(ys[almost_perp, :], axis=0,
                                      keepdims=True),
                              ys[cluster_size:, :]), axis=0)
+    if xs.size >= 2:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope_lo = (ys[1] - ys[0]) / (xs[1] - xs[0])
+            slope_hi = (ys[-1] - ys[-2]) / (xs[-1] - xs[-2])
+        slope_lo = np.where(np.isfinite(slope_lo), slope_lo, 0.0)
+        slope_hi = np.where(np.isfinite(slope_hi), slope_hi, 0.0)
+        y_lo = ys[0] + slope_lo * (-1.0 - xs[0])
+        y_hi = ys[-1] + slope_hi * (2.0 - xs[-1])
+        xs = np.concatenate(([-1.0], xs, [2.0]))
+        ys = np.concatenate((y_lo[None, :], ys, y_hi[None, :]), axis=0)
     return xs, ys
 
 

@@ -35,6 +35,7 @@ from . import nnls as mfn
 _LANE = 128
 _SEGMENTS = 8
 _TOL = float(100 * 1.1920929e-07)  # python float: jnp constants can't be captured by pallas kernels
+_TOL_DET = 1e-12  # df-determinant floor; MUST mirror dfscan._TOL_DET
 
 
 def _round_up(x, m):
@@ -116,32 +117,27 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
                        rb_ref[0], ab_ref[0], tile, n2b)
 
     # ---- unpack hoisted factors ----
-    (Rb2, Rbp, d1p, Rp2, b_p, p_p) = (
-        _ps_rows(row_ref, 4 * k) for k in range(6))
-    res1_row = row_ref[0, 24][:, None]
-    res13_row = row_ref[0, 25][:, None]
-    rowD2a = row_ref[0, 26][:, None]
-    rowEG = row_ref[0, 27][:, None]                    # pf*bf - d1f*rf
-    rowF = row_ref[0, 28][:, None]                     # d1f*d3f - bf^2
+    (Rb2, Rbp, d1p, Rp2, b_p, p_p, rowD2a, rowEG, rowF) = (
+        _ps_rows(row_ref, 4 * k) for k in range(9))
+    res1_row = row_ref[0, 36][:, None]
+    res13_row = row_ref[0, 37][:, None]
 
-    (U1, U2, U3, U4, V1, V2, X1c, d2p, q_p, c_p) = (
-        _ps_cols(col_ref, 4 * k) for k in range(10))
-    res2_col = col_ref[0, 40][None, :]
-    res23_col = col_ref[0, 41][None, :]
-    colA = col_ref[0, 42][None, :]                     # d2f*d3f - cf^2
-    colB = col_ref[0, 43][None, :]                     # cf*rf - qf*d3f
-    colC = col_ref[0, 44][None, :]                     # qf*cf - rf*d2f
-    colH = col_ref[0, 45][None, :]                     # qf*cf
+    (U1, U2, U3, U4, V1, V2, X1c, d2p, q_p, c_p,
+     colA, colB, colC, colH) = (
+        _ps_cols(col_ref, 4 * k) for k in range(14))
+    res2_col = col_ref[0, 56][None, :]
+    res23_col = col_ref[0, 57][None, :]
 
     C2v = tuple(vox_ref[0, 0, k] for k in range(4))
     wv = tuple(vox_ref[0, 0, 4 + k] for k in range(4))
-    d3f = vox_ref[0, 0, 8]
-    rf = vox_ref[0, 0, 9]
-    wf = vox_ref[0, 0, 10]
+    d3v = tuple(vox_ref[0, 0, 8 + k] for k in range(4))
+    r3v = tuple(vox_ref[0, 0, 12 + k] for k in range(4))
+    wf = vox_ref[0, 0, 16]
 
-    d1f, bf, pf = d1p[0], b_p[0], p_p[0]
-    d2f, qf, cf = d2p[0], q_p[0], c_p[0]
-    af = a_ps[0]
+    pf, qf = p_p[0], q_p[0]
+
+    def nps(t):
+        return (-t[0], -t[1])
 
     # ---- support {1,2,3}: compensated bordered 4x4 ----
     m1 = df32.mul_ps(b_p, V1)
@@ -157,18 +153,37 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
         df32.mul_ps(d1p, U3), df32.mul_ps(Rp2, U4),
         df32.mul_ps(a_ps, s_ps), df32.mul_ps(a2_ps, C2v)])
 
-    detG3 = (d1f * colA - (bf * bf) * d2f + af * (2.0 * bf * cf)
-             - (af * af) * d3f)
-    ok3 = detG3 > _TOL * d1f * d2f * d3f
+    # detG3 = d1 colA - b^2 d2 + 2 a b c - a^2 d3, DOUBLE-FLOAT: for
+    # highly correlated atoms the O(1) terms cancel to ~1e-6, pure noise
+    # in plain f32 — the old f32 guard rejected genuinely optimal
+    # supports the reference resolves in float64 (see dfscan._TOL_DET,
+    # mirrored semantics)
+    bc = df32.mul_ps(b_p, c_p)
+    bc_ps = df32.presplit(df32.fast_two_sum(bc[0], bc[1]))
+    m_abc = df32.mul_ps(a_ps, bc_ps)
+    detG3 = _acc([
+        df32.mul_ps(d1p, colA), nps(df32.mul_ps(Rb2, d2p)),
+        (2.0 * m_abc[0], 2.0 * m_abc[1]),
+        nps(df32.mul_ps(a2_ps, d3v))])
+    ok3 = detG3 > _TOL_DET
     res123 = jnp.where(ok3, det4 / jnp.where(ok3, detG3, 1.0), jnp.inf)
     res123 = jnp.where(jnp.isnan(res123), jnp.inf, res123)
 
-    # full-support feasibility (Cramer numerator signs, f32)
-    D1 = pf * colA + af * colB + bf * colC
-    D2 = af * rowD2a + rowEG * cf + rowF * qf
-    D3 = (af * (pf * cf + bf * qf) - rowEG * d2f - d1f * colH
-          - (af * af) * rf)
-    full = (D1 >= -_TOL) & (D2 >= -_TOL) & (D3 >= -_TOL)
+    # full-support feasibility (Cramer numerator signs, double-float)
+    D1 = _acc([df32.mul_ps(p_p, colA), df32.mul_ps(a_ps, colB),
+               df32.mul_ps(b_p, colC)])
+    D2 = _acc([df32.mul_ps(a_ps, rowD2a), df32.mul_ps(rowEG, c_p),
+               df32.mul_ps(rowF, q_p)])
+    pc = df32.mul_ps(p_p, c_p)
+    bq = df32.mul_ps(b_p, q_p)
+    s3_hi, s3_e = df32.two_sum(pc[0], bq[0])
+    pcbq_ps = df32.presplit(
+        df32.fast_two_sum(s3_hi, s3_e + pc[1] + bq[1]))
+    D3 = _acc([df32.mul_ps(a_ps, pcbq_ps),
+               nps(df32.mul_ps(rowEG, d2p)),
+               nps(df32.mul_ps(d1p, colH)),
+               nps(df32.mul_ps(a2_ps, r3v))])
+    full = (D1 >= -_TOL_DET) & (D2 >= -_TOL_DET) & (D3 >= -_TOL_DET)
 
     # ---- support {1,2}: compensated bordered 3x3 ----
     m3 = df32.mul_ps(p_p, q_p)
@@ -177,16 +192,16 @@ def _kernel(q1ab_ref, a1h_ref, ra_ref, qb_ref, rb_ref, ab_ref,
     ap_q = df32.mul_ps(a_ps, pq_ps)
     num12 = _acc([
         df32.mul_ps(d1p, X1c),
-        (-df32.mul_ps(Rp2, d2p)[0], -df32.mul_ps(Rp2, d2p)[1]),
+        nps(df32.mul_ps(Rp2, d2p)),
         (2.0 * ap_q[0], 2.0 * ap_q[1]),
-        (-df32.mul_ps(a2_ps, wv)[0], -df32.mul_ps(a2_ps, wv)[1])])
-    det12 = d1f * d2f - af * af
-    ok12 = det12 > _TOL * d1f * d2f
+        nps(df32.mul_ps(a2_ps, wv))])
+    det12 = _acc([df32.mul_ps(d1p, d2p), nps(a2)])
+    ok12 = det12 > _TOL_DET
     res12full = jnp.where(ok12, num12 / jnp.where(ok12, det12, 1.0),
                           jnp.inf)
     res12full = jnp.where(jnp.isnan(res12full), jnp.inf, res12full)
-    w1D = d2f * pf - af * qf
-    w2D = d1f * qf - af * pf
+    w1D = _acc([df32.mul_ps(d2p, p_p), nps(df32.mul_ps(a_ps, q_p))])
+    w2D = _acc([df32.mul_ps(d1p, q_p), nps(df32.mul_ps(a_ps, p_p))])
     res12 = dfscan._two_var_cases(res12full, w1D, w2D, pf, qf,
                                   res1_row, res2_col, wf)[0]
 
@@ -275,8 +290,10 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
         neg(mul(Rb2, w_)), sc(mul(mul(b_, p_), r3), 2.0),
         neg(mul(d3, Rp2))])
     res13_row = num13 / val(det13)
-    w1D_13 = val(d3) * val(p_) - val(b_) * val(r3)
-    w2D_13 = val(d1) * val(r3) - val(b_) * val(p_)
+    # 2-var case numerators df-accurate (near-duplicate atoms cancel
+    # these to ~1e-6; cf. dfscan._TOL_DET)
+    w1D_13 = dfscan._accumulate([mul(d3, p_), neg(mul(b_, r3))])
+    w2D_13 = dfscan._accumulate([mul(d1, r3), neg(mul(b_, p_))])
     res3_only = val(w_) - val(r3) ** 2 / val(d3)
     res13_row, _ = dfscan._two_var_cases(
         res13_row, w1D_13, w2D_13, val(p_), val(r3),
@@ -299,23 +316,23 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
         mul(mul(d2, d3), w_), neg(mul(mul(d2, r3), r3)),
         neg(mul(Cc2, w_)), sc(mul(Ccq, r3), 2.0), neg(mul(d3, Cq2))])
     res23_col = num23 / val(det23)
-    w1D_23 = val(d3) * val(q_) - val(c_) * val(r3)
-    w2D_23 = val(d2) * val(r3) - val(c_) * val(q_)
+    w1D_23 = dfscan._accumulate([mul(d3, q_), neg(mul(c_, r3))])
+    w2D_23 = dfscan._accumulate([mul(d2, r3), neg(mul(c_, q_))])
     res23_col, _ = dfscan._two_var_cases(
         res23_col, w1D_23, w2D_23, val(q_), val(r3),
         res2_col, res3_only, val(w_))
 
-    # f32 hoists for the in-kernel decision booleans
-    d1f, bf, pf = val(d1), val(b_), val(p_)
-    d2f, qf, cf = val(d2), val(q_), val(c_)
-    d3f, rf, wf = val(d3), val(r3), val(w_)
-    rowD2a = rf * bf - d3f * pf
-    rowEG = pf * bf - d1f * rf
-    rowF = d1f * d3f - bf * bf
-    colA = d2f * d3f - cf * cf
-    colB = cf * rf - qf * d3f
-    colC = qf * cf - rf * d2f
-    colH = qf * cf
+    # df hoists for the in-kernel determinant/Cramer evaluation: the
+    # O(1) normalized-Gram terms of detG3 and the D_i cancel to ~1e-6
+    # for highly correlated atoms, so the kernel evaluates them in
+    # double-float from these presplit factors (cf. dfscan._TOL_DET)
+    wf = val(w_)
+    rowD2a = add(mul(r3, b_), neg(mul(d3, p_)))        # r b - d3 p
+    rowEG = add(mul(p_, b_), neg(mul(d1, r3)))         # p b - d1 r
+    # rowF = d1 d3 - b^2 == det13 (hoisted above)
+    colB = add(mul(c_, r3), neg(mul(q_, d3)))          # c r - q d3
+    colC = add(mul(q_, c_), neg(mul(r3, d2)))          # q c - r d2
+    # colA = d2 d3 - c^2 == det23; colH = q c == Ccq (hoisted above)
 
     def ps_stack(dfs):
         comps = []
@@ -324,23 +341,23 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
         return jnp.stack(comps, axis=1)                # (B, 4*len, N)
 
     row_pack = jnp.concatenate([
-        ps_stack([Rb2, Rbp, d1, Rp2, b_, p_]),
-        jnp.stack([res1_row, res13_row, rowD2a, rowEG, rowF], axis=1),
-    ], axis=1).astype(jnp.float32)                     # (B, 29, N1p)
+        ps_stack([Rb2, Rbp, d1, Rp2, b_, p_, rowD2a, rowEG, det13]),
+        jnp.stack([res1_row, res13_row], axis=1),
+    ], axis=1).astype(jnp.float32)                     # (B, 38, N1p)
     col_pack = jnp.concatenate([
-        ps_stack([U1, U2, U3, U4, V1, V2, X1c, d2, q_, c_]),
-        jnp.stack([res2_col, res23_col, colA, colB, colC, colH], axis=1),
-    ], axis=1).astype(jnp.float32)                     # (B, 46, N2)
+        ps_stack([U1, U2, U3, U4, V1, V2, X1c, d2, q_, c_,
+                  det23, colB, colC, Ccq]),
+        jnp.stack([res2_col, res23_col], axis=1),
+    ], axis=1).astype(jnp.float32)                     # (B, 58, N2)
     col_pack = jnp.pad(col_pack, ((0, 0), (0, 0), (0, N2p - N2)))
 
     vox = []
-    for x in (C2v, w_):
+    for x in (C2v, w_, d3, r3):
         vox.extend(df32.presplit(x))
     vox = jnp.stack([v[:, 0] for v in vox]
-                    + [d3f[:, 0], rf[:, 0], wf[:, 0],
-                       jnp.zeros_like(d3f[:, 0])], axis=1)
-    vox = vox[:, None, :].astype(jnp.float32)          # (B, 1, 12) -> pad
-    vox = jnp.pad(vox, ((0, 0), (0, 0), (0, 16 - vox.shape[2])))
+                    + [wf[:, 0]], axis=1)
+    vox = vox[:, None, :].astype(jnp.float32)          # (B, 1, 17) -> pad
+    vox = jnp.pad(vox, ((0, 0), (0, 0), (0, 24 - vox.shape[2])))
 
     # column blocking: large second sub-dictionaries are processed in NB
     # lane blocks of N2B columns so the (S, N2B) f32 operands + the chain
@@ -392,11 +409,11 @@ def row_scan_df3(A1, A2, a3, y, interpret=False, tile=_LANE,
             colblk(2 * N2B),                           # int8 [Q1b|Q2b]
             colblk(N2B),                               # Rb
             colblk(N2B),                               # ab
-            pl.BlockSpec((1, 29, tile), lambda b, c, t: (b, 0, t),
+            pl.BlockSpec((1, 38, tile), lambda b, c, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 46, N2B), lambda b, c, t: (b, 0, c),
+            pl.BlockSpec((1, 58, N2B), lambda b, c, t: (b, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 16), lambda b, c, t: (b, 0, 0),
+            pl.BlockSpec((1, 1, 24), lambda b, c, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

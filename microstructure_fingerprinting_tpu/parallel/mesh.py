@@ -29,6 +29,53 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, local_device_ids=None):
+    """Wire up multi-host execution (jax.distributed) for volume fits.
+
+    The reference's only parallelism is single-host multiprocessing
+    (reference mf.py:978-1009). The TPU-native multi-host equivalent:
+    every host runs the same fit script, this initializer connects them
+    into one jax runtime (ICI within a slice, DCN across hosts), and
+    ``build_mesh`` then spans the GLOBAL device set — voxel batches shard
+    across all chips of all hosts with no further code changes (voxels are
+    independent; SURVEY.md section 5 comm-backend plan).
+
+    All arguments are jax.distributed.initialize passthroughs; on TPU pods
+    they are auto-detected from the environment and every argument may be
+    omitted. For CPU/localhost testing pass them explicitly.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id,
+                               local_device_ids=local_device_ids)
+
+
+def gather_to_host(x, tiled=True):
+    """Gather a (possibly multi-host-sharded) array to every host as NumPy.
+
+    Used by multi-host fits to assemble the full parameter maps on host 0
+    for NIfTI writing (SURVEY.md section 5: "final parameter maps
+    all-gathered to host 0"); jax's process_allgather delivers the same
+    bytes on every host, so host 0 simply writes and the others discard.
+    ``tiled=True`` concatenates per-process shards along axis 0 (the voxel
+    axis); with ``tiled=False`` a new leading process axis is added.
+    """
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=tiled))
+
+
+def host_local_to_global(mesh, pspec, x):
+    """Promote per-process local shards to one global sharded array.
+
+    Every process passes its own slice of the voxel batch (equal sizes);
+    the result is a global jax.Array laid out per ``pspec`` on ``mesh``
+    and usable directly by the jitted fit step.
+    """
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(x, mesh, pspec)
+
+
 def build_mesh(n_data=None, n_atoms=1, devices=None):
     """Create a (data, atoms) mesh over the available devices."""
     if devices is None:

@@ -289,3 +289,42 @@ def test_df_nnls_cols_matches_f64_host(rng):
         assert np.max(np.abs(w_d - wo)) <= 3e-7 * max(np.max(np.abs(wo)),
                                                       1.0)
         assert np.max(np.abs(res_d - ro) / ysq) < 1e-7
+
+
+def test_df3_ill_conditioned_optimum(rng):
+    """Near-duplicate atom pairs produce valid all-positive optima at
+    normalized-Gram determinants ~1e-6 — below 100*eps_f32, where the old
+    f32 conditioning guard marked them infeasible and the scan missed the
+    true optimum entirely (round-5 regression: caught by differential
+    testing vs the reference, which solves these in float64 with no det
+    guard at all, mf_utils.py:554-573)."""
+    import scipy.optimize
+    import jax.numpy as jnp
+    from microstructure_fingerprinting_tpu.ops import dfscan
+    B, S = 1, 60
+    # two nearly-parallel fascicle columns + a correlated third column:
+    # the 3-var optimum needs all three with large-ish weights
+    base = np.abs(rng.randn(S)) + 0.3
+    c1 = base + 1e-3 * np.abs(rng.randn(S))
+    c2 = base + 1e-3 * np.abs(rng.randn(S))
+    c3 = np.abs(rng.randn(S)) + 0.3
+    y = 50 * c1 - 49 * (c2 / np.linalg.norm(c2) * np.linalg.norm(c1)) \
+        + 3.0 * c3 + 0.0 * base
+    y = np.abs(y) + 0.05
+    A1 = np.stack([c1, np.abs(rng.randn(S)) + 0.3], axis=1)
+    A2 = np.stack([c2, np.abs(rng.randn(S)) + 0.3], axis=1)
+    # brute-force f64 oracle over the 2x2x1 grid
+    best = (np.inf, None)
+    for i1 in range(2):
+        for i2 in range(2):
+            cols = np.stack([A1[:, i1], A2[:, i2], c3], axis=1)
+            w, rn = scipy.optimize.nnls(cols, y)
+            if rn * rn < best[0]:
+                best = (rn * rn, (i1, i2))
+    cand, vals, ysq = dfscan.df3_candidates(
+        jnp.asarray(A1[None]), jnp.asarray(A2[None]),
+        jnp.asarray(c3[None, :, None]), jnp.asarray(y[None]), M=1)
+    assert tuple(np.asarray(cand)[0, 0]) == best[1], \
+        "scan missed the ill-conditioned optimum"
+    got = float(np.asarray(vals)[0, 0]) * float(np.asarray(ysq)[0])
+    assert abs(got - best[0]) < 1e-6 * float(np.asarray(ysq)[0])

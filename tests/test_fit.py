@@ -26,7 +26,7 @@ HCP_OK = has_fixture("MC_dictionary_hcp.mat") and \
     has_fixture("hcp_mgh_1003.scheme1")
 
 
-def _make_dictionary(n_atoms=120):
+def _make_dictionary(n_atoms=48):
     """MFModel-ready dictionary dict built from the UKBB fixture."""
     raw = mfio.loadmat(fixture_path("ukbb_90_dirs_dictionary_hcp_deltas.mat"))
     sel = np.linspace(0, raw["dictionary"].shape[1] - 1, n_atoms).astype(int)
@@ -176,7 +176,7 @@ def test_fit_end_to_end_recovery(rng, tmp_path):
 def test_fit_parallel_matches_serial(rng):
     """Sharded (8 virtual devices) fit == single-device fit."""
     assert len(jax.devices()) == 8, "conftest should provide 8 cpu devices"
-    dic = _make_dictionary(n_atoms=64)
+    dic = _make_dictionary(n_atoms=48)
     data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
         dic, rng)
     model = MFModel(dic)
@@ -304,7 +304,7 @@ def test_nifti_reads_real_fixtures():
 def test_refined_fit_matches_exact(rng):
     """refine=True (f32 scan + f64 host re-score) == refine=False (f64 scan):
     the precision path used on TPU reproduces exact float64 selection."""
-    dic = _make_dictionary(n_atoms=96)
+    dic = _make_dictionary(n_atoms=48)
     data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
         dic, rng)
     model = MFModel(dic)
@@ -390,9 +390,15 @@ def test_pallas_engine_matches_default(rng):
 
 
 @pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+@pytest.mark.nightly
 def test_pallas_engine_ear_matches_xla(rng):
     """engine='pallas' == engine='xla' on the full mixed-config volume
-    including the 2-fascicle + CSF + EAR bucket (df4 scan path)."""
+    including the 2-fascicle + CSF + EAR bucket (df4 scan path).
+
+    nightly: the df4 engine comparison compiles the largest XLA:CPU
+    programs in the suite; the same code paths are covered per-kernel by
+    test_twopass_production_graph (EAR two-pass + df4 scan) and
+    test_k1_fast_path_matches_general (EAR finalize)."""
     dic = _make_dictionary(n_atoms=48)
     data, mask, numfasc, peaks, csf_mask, ear_mask, gt = _synth_volume(
         dic, rng)
@@ -464,6 +470,7 @@ def test_grouped_rotation_matches_gather(rng):
 
 
 @pytest.mark.skipif(not UKBB_OK, reason="UKBB fixture unavailable")
+@pytest.mark.nightly
 def test_parallel_with_refine(rng):
     """Sharded fit with float64 refinement == serial refined fit (the TPU
     default combination when parallel=True)."""
@@ -620,8 +627,8 @@ def test_twopass_production_graph(rng, monkeypatch):
     from microstructure_fingerprinting_tpu.models.fit import run_bucket_fast
     from microstructure_fingerprinting_tpu.utils.scheme import b_values
     monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
-        cfg.DEFAULTS["solver"], twopass_rows=64))
-    wl = mft.make_fit_workload(num_atom=300, n_vox=8, n_shells=3,
+        cfg.DEFAULTS["solver"], twopass_rows=16))
+    wl = mft.make_fit_workload(num_atom=72, n_vox=8, n_shells=3,
                                dirs_per_shell=12, n_b0=4)
     ms, plan = wl["msinterp"], wl["plan"]
     _xs, ys_t, _cnt = ms.device_tables()
@@ -641,7 +648,7 @@ def test_twopass_production_graph(rng, monkeypatch):
                       ({"sig_ear": sig_ear, "ear_on": True}, True)):
         if force:
             monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
-                cfg.DEFAULTS["solver"], twopass_rows=64,
+                cfg.DEFAULTS["solver"], twopass_rows=16,
                 twopass_ear_mode="always"))
         host = run_bucket_fast(ms, plan, ys_t, peaks, y, csf, 2, True,
                                batch=8, device_finalize=False, **kw)
@@ -756,8 +763,8 @@ def test_mosaic_failure_degrades_to_xla(rng, monkeypatch):
     from microstructure_fingerprinting_tpu import testing as mft
     from microstructure_fingerprinting_tpu.models import fit as fit_mod
     monkeypatch.setitem(cfg.DEFAULTS, "solver", dataclasses.replace(
-        cfg.DEFAULTS["solver"], twopass_rows=64))
-    wl = mft.make_fit_workload(num_atom=160, n_vox=8, n_shells=3,
+        cfg.DEFAULTS["solver"], twopass_rows=16))
+    wl = mft.make_fit_workload(num_atom=72, n_vox=8, n_shells=3,
                                dirs_per_shell=12, n_b0=4)
     ms, plan = wl["msinterp"], wl["plan"]
     _xs, ys_t, _cnt = ms.device_tables()

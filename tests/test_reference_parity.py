@@ -384,3 +384,27 @@ def test_ref_fit_end_to_end(rng, tmp_path):
     refs = ref_fit.write_nifti(str(tmp_path / "refs.nii.gz"), affine=aff)
     assert ([os.path.basename(f).replace("ours", "X") for f in ours]
             == [os.path.basename(f).replace("refs", "X") for f in refs])
+
+
+def test_ref_solver_correlated_atoms(rng):
+    """Near-duplicate atoms (the realistic MC-dictionary regime: adjacent
+    fingerprints correlate to 0.9999+): identical selection incl. the
+    ill-conditioned all-positive optima the reference resolves by plain
+    float64 Cramer (mf_utils.py:554-573)."""
+    require_x64()
+    Nseq = 60
+    base = np.abs(rng.randn(Nseq, 8)) + 0.2
+    A1 = np.repeat(base, 3, axis=1) + 1e-4 * np.abs(rng.randn(Nseq, 24))
+    A2 = np.repeat(base, 3, axis=1) + 1e-4 * np.abs(rng.randn(Nseq, 24))
+    csf = np.abs(rng.randn(Nseq, 1)) + 0.2
+    A = np.concatenate([A1, A2, csf], axis=1)
+    dicsizes = np.array([24, 24, 1], dtype=np.int64)
+    for t in range(4):
+        w_gt = rng.rand(3) + 0.2
+        y = (w_gt[0] * A1[:, rng.randint(24)]
+             + w_gt[1] * A2[:, rng.randint(24)]
+             + w_gt[2] * csf[:, 0]
+             + 0.01 * rng.randn(Nseq))
+        _assert_solver_tuple_equal(
+            mfn.solve_exhaustive_posweights(A, y, dicsizes),
+            refmfu.solve_exhaustive_posweights(A, y, dicsizes), tol=1e-8)

@@ -78,6 +78,97 @@ def test_run_bucket_fast_2d_mesh(rng):
 
 
 @needs_8
+def test_twopass_sharded_matches_single_device(rng):
+    """The mesh-wrapped two-pass chunk steps (_twopass_sharded: shard_map
+    over 'data' around the fused step) reproduce the single-device steps
+    index-exactly — the round-5 fix for parallel=True silently dropping
+    the two-pass kernels."""
+    import jax.numpy as jnp
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.fit import (
+        _twopass_step3, _twopass_step4, _twopass_sharded)
+    from microstructure_fingerprinting_tpu.ops import interp as mfi
+    n_vox, E = 8, 3
+    wl = mft.make_fit_workload(num_atom=32, n_vox=n_vox, n_shells=3,
+                               dirs_per_shell=12, n_b0=4)
+    xs, ys, cnt = wl["msinterp"].device_tables()
+    dt = xs.dtype
+    plan = wl["plan"]
+    D = mfi.eval_rotation_batch(
+        xs, ys, cnt, jnp.asarray(plan.gdir, dtype=dt),
+        jnp.asarray(plan.shell_lo), jnp.asarray(plan.shell_hi),
+        jnp.asarray(plan.wG, dtype=dt),
+        jnp.asarray(wl["peaks"], dtype=dt))
+    y = jnp.asarray(wl["y"], dtype=dt)
+    csf_d = jnp.asarray(wl["sig_csf"], dtype=dt)
+    S = y.shape[1]
+    ear_d = jnp.asarray(
+        np.abs(np.random.RandomState(7).randn(S, E)) + 0.05, dtype=dt)
+    R = int(D.shape[3])  # full row budget: every voxel in-band
+    for (nd, na) in ((8, 1), (4, 2)):
+        m = pmesh.build_mesh(n_data=nd, n_atoms=na)
+        D_s = pmesh.shard_batch(m, D)
+        y_s = pmesh.shard_batch(m, y)
+        csf_r = pmesh.replicate(m, csf_d)
+        ear_r = pmesh.replicate(m, ear_d)
+        ref3 = _twopass_step3(D, csf_d, y, R=R, fused=False)
+        got3 = _twopass_sharded(m, R, False, False)(D_s, csf_r, y_s)
+        assert np.asarray(got3[4]).all()
+        assert np.array_equal(np.asarray(ref3[0]), np.asarray(got3[0]))
+        np.testing.assert_allclose(np.asarray(ref3[2]),
+                                   np.asarray(got3[2]),
+                                   rtol=1e-6, atol=1e-9)
+        ref4 = _twopass_step4(D, csf_d, ear_d, y, R=R, fused=False)
+        got4 = _twopass_sharded(m, R, False, True)(D_s, csf_r, ear_r, y_s)
+        assert np.asarray(got4[4]).all()
+        assert np.array_equal(np.asarray(ref4[0]), np.asarray(got4[0]))
+        np.testing.assert_allclose(np.asarray(ref4[2]),
+                                   np.asarray(got4[2]),
+                                   rtol=1e-6, atol=1e-9)
+
+
+@needs_8
+def test_fit_mesh_shape_kwarg(rng):
+    """fit(parallel=True, mesh_shape=(4, 2)) — the public route to the 2D
+    (data x atoms) mesh (round-4 PARITY claimed it existed; now it does) —
+    matches the serial fit."""
+    from microstructure_fingerprinting_tpu import testing as mft
+    from microstructure_fingerprinting_tpu.models.mf import MFModel
+    from microstructure_fingerprinting_tpu.utils.scheme import b_values
+    sch = mft.make_dense_scheme(n_shells=3, dirs_per_shell=12, n_b0=4)
+    sig, dp, _ = mft.make_dictionary(sch, num_atom=32)
+    dic = {"dictionary": sig, "sch_mat": sch,
+           "orientation": np.array([0.0, 0.0, 1.0]),
+           "num_atom": 32, "num_ear": 0,
+           "fasc_propnames": ["dpar"], "dpar": dp,
+           "T2_csf": 2.0, "DIFF_csf": 3.0e-9,
+           "T2_ear": 2.0, "DIFF_ear": np.array([1.5e-9])}
+    sh = (8, 1, 1)
+    mask = np.ones(sh)
+    peaks = rng.randn(*sh, 6)
+    peaks[..., :3] /= np.linalg.norm(peaks[..., :3], axis=-1,
+                                     keepdims=True)
+    peaks[..., 3:] /= np.linalg.norm(peaks[..., 3:], axis=-1,
+                                     keepdims=True)
+    TE, b = sch[:, 6], b_values(sch)
+    csf = np.exp(-TE / 2.0) * np.exp(-b * 3.0e-9)
+    data = np.zeros(sh + (sch.shape[0],))
+    for v in range(8):
+        idx = np.unravel_index(v, sh)
+        data[idx] = (0.6 * sig[:, v % 32] + 0.3 * sig[:, (5 * v) % 32]
+                     + 0.4 * csf) * 300.0
+    model = MFModel(dict(dic))
+    f_ser = model.fit(data, mask, 2, peaks=peaks, pgse_scheme=sch,
+                      csf_mask=1, verbose=0)
+    f_par = model.fit(data, mask, 2, peaks=peaks, pgse_scheme=sch,
+                      csf_mask=1, verbose=0, parallel=True,
+                      mesh_shape=(4, 2), batch_size=8)
+    for p in f_ser.param_names:
+        np.testing.assert_allclose(getattr(f_par, p), getattr(f_ser, p),
+                                   rtol=1e-6, atol=1e-8, err_msg=p)
+
+
+@needs_8
 def test_shard_batch_and_replicate(rng):
     m = pmesh.build_mesh(n_atoms=1)
     x = rng.randn(16, 5)
