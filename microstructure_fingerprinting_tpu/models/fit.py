@@ -689,45 +689,56 @@ def run_bucket_fast(ms_host, plan_host, tables_ys, peaks, y, sig_csf,
                         still.extend(sel[~ok_np])
                     bad = np.asarray(still, dtype=np.int64)
                 if bad.size:
-                    # exact float64 host re-solve for the (rare, per-mille
-                    # after the doubled tier budget) voxels still
-                    # overflowing: rotate the full dictionary for just
-                    # those voxels on the host and run the
-                    # reference-parity exhaustive solver. This replaced
-                    # the grid3/grid4 full-grid device programs — two
-                    # fewer multi-minute compiles in the prewarm
-                    # inventory and a smaller persistent cache, for work
-                    # that amounts to <1% of voxels (round-5 program
-                    # diet; the host solve is itself the f64 authority,
-                    # so selection here is reference-grade by
-                    # construction).
-                    N_at = tables_ys.shape[2]
-                    ids_all = np.ascontiguousarray(
-                        np.broadcast_to(np.arange(N_at, dtype=np.int32),
-                                        (bad.size, N_at)))
-                    cols_k = [refine_mod.interp_columns(
-                        ms_host, plan_host, pk64[bad, k], ids_all)
-                        for k in range(K)]           # (V, N, S) each
-                    sizes = [N_at] * K + [1]
-                    if ear_on:
-                        sizes.append(E)
-                    dicsizes = np.asarray(sizes, dtype=np.int64)
-                    for i, v in enumerate(bad):
-                        A_blocks = [np.ascontiguousarray(c[i].T)
-                                    for c in cols_k]
-                        A_blocks.append(sig_csf64[:, None])
-                        if ear_on:
-                            A_blocks.append(sig_ear64)
-                        A = np.concatenate(A_blocks, axis=1)
-                        yv = np.asarray(y[v], dtype=np.float64)
-                        w_v, ind_v, _tot, obj_v, yrec = \
-                            mfn.solve_exhaustive_posweights(A, yv,
-                                                            dicsizes)
-                        ind2[v, :n_cand] = np.asarray(
-                            ind_v, dtype=np.int32)[:n_cand]
-                        w_b[v] = w_v
-                        obj_b[v] = obj_v
-                        r2_b[v] = _r2_np(yv[None], yrec[None])[0]
+                    # final tier: the FULL row budget (R = N1). The row
+                    # pass then keeps every row, the df re-scan covers
+                    # the whole candidate grid on device, and the
+                    # overflow flag cannot fire — exact selection is
+                    # unconditional. Replaces both the old grid3/grid4
+                    # device programs (two fewer prewarmed compiles) and
+                    # a briefly-lived host full-grid solve (which cost
+                    # seconds PER VOXEL and cratered bucket throughput
+                    # whenever tier-2 overflow was not per-mille).
+                    # Compiles lazily — only fits that still overflow
+                    # after the 2R tier ever pay it.
+                    R_full = int(tables_ys.shape[2])
+                    fused_fg = (jax.default_backend() == "tpu"
+                                and mesh is None
+                                and health.ok["df4" if ear_on else "df3"])
+                    for st in range(0, bad.size, fb):
+                        sel = bad[st:st + fb]
+                        m = sel.size
+                        D_f, csf_f, y_fd = _stage_batch(sel)
+                        try:
+                            if ear_on:
+                                ear_f = jnp.broadcast_to(
+                                    ear_d[None, :, :], (fb, S, E))
+                                cand_f, _v, _q, _okf = f32.df4_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, ear_f,
+                                    y_fd, M=1, R=R_full, fused=fused_fg)
+                            else:
+                                cand_f, _v, _q, _okf = f32.df3_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, y_fd,
+                                    M=1, R=R_full, fused=fused_fg)
+                        except Exception as e:  # Mosaic compile guard
+                            if not fused_fg:
+                                raise
+                            health.fail("df4" if ear_on else "df3",
+                                        e, "full-grid re-solve")
+                            fused_fg = False
+                            if ear_on:
+                                cand_f, _v, _q, _okf = f32.df4_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, ear_f,
+                                    y_fd, M=1, R=R_full, fused=False)
+                            else:
+                                cand_f, _v, _q, _okf = f32.df3_twopass(
+                                    D_f[:, 0], D_f[:, 1], csf_f, y_fd,
+                                    M=1, R=R_full, fused=False)
+                        w_f, obj_f, r2_f = _aot(
+                            "fin4" if ear_on else "fin3", _finalize_top1,
+                            D_f, csf_d, ear_d, y_fd, cand_f[:, 0],
+                            csf_on=bool(csf_on), ear_on=bool(ear_on), K=K)
+                        pk_f = _pull_packed(cand_f, w_f, obj_f, r2_f)
+                        _store(sel, np.arange(m), pk_f)
             # the df quadratic form can round a noiseless voxel's residual a few
             # ulp below zero; a reported objective is never negative
             obj_b = np.maximum(obj_b, 0.0)

@@ -558,7 +558,12 @@ def _sub2_df(dA, dB, g, pA, pB, w):
         _neg(_dfm(dA, pB, pB)), _neg(_dfm(dB, pA, pA))])
     n1 = _accumulate([_mul(dB, pA), _neg(_mul(g, pB))])
     n2 = _accumulate([_mul(dA, pB), _neg(_mul(g, pA))])
-    feas = (det2 > _TOL_DET) & (n1 >= 0) & (n2 >= 0)
+    # _TOL-relative guard: consistent with the 4-block interval row
+    # pass's three-zone pivot classes and the LDL pivot guards (the
+    # df4 family's documented conditioning floor; the K<=3 path is the
+    # one that is exact down to _TOL_DET)
+    feas = ((det2 > _TOL * _val(dA) * _val(dB))
+            & (n1 >= 0) & (n2 >= 0))
     return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
 
 
@@ -585,7 +590,7 @@ def _sub3_df(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w):
         _mul(_mul(gAB, gAB), C2)])
     det3, D1, D2, D3 = _det3_cramer_df(gAB, dA, dB, dC, gAC, gBC,
                                        pA, pB, pC)
-    feas = ((det3 > _TOL_DET)
+    feas = ((det3 > _TOL * _val(dA) * _val(dB) * _val(dC))
             & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
     return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
 
@@ -930,7 +935,8 @@ def _sub2_point(aa, d1t, d2c, pt, qc, wv):
     det2 = _accumulate([_mul(d1t, d2c), _neg(_mul(aa, aa))])
     n1 = _accumulate([_mul(d2c, pt), _neg(_mul(aa, qc))])
     n2 = _accumulate([_mul(d1t, qc), _neg(_mul(aa, pt))])
-    feas = (det2 > _TOL_DET) & (n1 >= 0) & (n2 >= 0)
+    feas = ((det2 > _TOL * _val(d1t) * _val(d2c))
+            & (n1 >= 0) & (n2 >= 0))
     return jnp.where(feas, num / jnp.where(feas, det2, 1.0), jnp.inf)
 
 
@@ -954,7 +960,7 @@ def _sub3_point(aa, d1t, d2c, dCe, bt, cc, pt, qc, rCe, wv):
         _mul(_mul(aa, aa), C2)])
     det3, D1, D2, D3 = _det3_cramer_df(aa, d1t, d2c, dCe, bt, cc,
                                        pt, qc, rCe)
-    feas = ((det3 > _TOL_DET)
+    feas = ((det3 > _TOL * _val(d1t) * _val(d2c) * _val(dCe))
             & (D1 >= 0) & (D2 >= 0) & (D3 >= 0))
     return jnp.where(feas, det4 / jnp.where(feas, det3, 1.0), jnp.inf)
 

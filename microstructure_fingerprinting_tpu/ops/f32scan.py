@@ -117,12 +117,7 @@ def _sub2(dA, dB, g, pA, pB, w, det_tol):
     wa = (pA - g * wb) * invA
     feas = stab & (piv > det_tol * dB) & (wa >= 0) & (wb >= 0)
     res = w - pA * pA * invA - t * wb
-    ws = jnp.abs(wa) + jnp.abs(wb)
-    # quadratic term: the pivot's ~eps cancellation error enters the
-    # subtracted t^2/piv term multiplied by w^2 (sound for the
-    # ill-conditioned supports admitted since the det gates moved to the
-    # df scans' ~1e-12 floor; negligible widening for O(1) weights)
-    return _interval(feas, stab, res, ws + ws * ws,
+    return _interval(feas, stab, res, jnp.abs(wa) + jnp.abs(wb),
                      excl=bool(det_tol > 0))
 
 
@@ -146,8 +141,8 @@ def _sub3(dA, dB, dC, gAB, gAC, gBC, pA, pB, pC, w, det_tol):
     feas = (stab & (pivB * pivC > det_tol * dB * dC)
             & (wa >= 0) & (wb >= 0) & (wc >= 0))
     res = w - pA * pA * invA - tB * tB * invB - tC * wc
-    ws = jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc)
-    return _interval(feas, stab, res, ws + ws * ws,
+    return _interval(feas, stab, res,
+                     jnp.abs(wa) + jnp.abs(wb) + jnp.abs(wc),
                      excl=bool(det_tol > 0))
 
 
@@ -693,8 +688,7 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w1t = kap_ppx - ap * invd1px * w2t
         w3t = ux - L1x * w1t - kap_cx * w2t
         res3 = _sanit(rho1x - tB * w2t)
-        s3b = w1t + w2t + w3t
-        err3 = KER * (1.0 + s3b + s3b * s3b)
+        err3 = KER * (1.0 + w1t + w2t + w3t)
         lo, up = fold(lo, up, zB,
                       jnp.minimum(jnp.minimum(w1t, w2t), w3t) >= 0,
                       res3, err3)
@@ -725,8 +719,7 @@ def _rowmin4_body(a, rowv, colv, voxv, n3, n4):
         w4f = u4 - L14 * w1f - L24 * w2f
         w3f = u3 - L43 * w4f - L13 * w1f - kap_c3 * w2f
         resF = _sanit(rho1f - pi2 * w2f)
-        sFb = w1f + w2f + w3f + w4f
-        errF = KER4 * (1.0 + sFb + sFb * sFb)
+        errF = KER4 * (1.0 + w1f + w2f + w3f + w4f)
         lo, up = fold(lo, up, zF,
                       jnp.minimum(jnp.minimum(w1f, w2f),
                                   jnp.minimum(w3f, w4f)) >= 0,
@@ -881,7 +874,7 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     # ---- block-1-free floor (upper bounds only) ----
     upf = w_ + KERR
     for lo_s, up_s in (_sub1(d3e, r3e, w4), _sub1(d4e, r4e, w4),
-                       _sub2(d3e, d4e, ge, r3e, r4e, w4, 0.0)):
+                       _sub2(d3e, d4e, ge, r3e, r4e, w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
     d2e = d2.reshape(B, N2w, 1, 1)
     q2e = q_.reshape(B, N2w, 1, 1)
@@ -892,10 +885,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     # selection (colmin) must see them; their up side is the floor
     lo_c_sup = jnp.full((B, N2w), jnp.inf, jnp.float32)
     for lo_s, up_s in (_sub1(d2e, q2e, w4),
-                       _sub2(d2e, d3e, c3e, q2e, r3e, w4, 0.0),
-                       _sub2(d2e, d4e, c4e, q2e, r4e, w4, 0.0),
+                       _sub2(d2e, d3e, c3e, q2e, r3e, w4, _TOL),
+                       _sub2(d2e, d4e, c4e, q2e, r4e, w4, _TOL),
                        _sub3(d2e, d3e, d4e, c3e, c4e, ge, q2e, r3e, r4e,
-                             w4, 0.0)):
+                             w4, _TOL)):
         upf = jnp.minimum(upf, jnp.min(up_s.reshape(B, -1), axis=1))
         lo_c_sup = jnp.minimum(lo_c_sup,
                                jnp.min(lo_s.reshape(B, N2w, -1), axis=2))
@@ -907,10 +900,10 @@ def rowmin_4(A1, A2, a3, a4, y, tile=256, pallas=False, interpret=False,
     b3e = b3[:, :, :, None]
     b4e = b4[:, :, None, :]
     lo_r, up_r = _sub1(d1, p_, we2)
-    for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, 0.0),
-                       _sub2(d1e, d4e, b4e, p1e, r4e, w4, 0.0),
+    for lo_s, up_s in (_sub2(d1e, d3e, b3e, p1e, r3e, w4, _TOL),
+                       _sub2(d1e, d4e, b4e, p1e, r4e, w4, _TOL),
                        _sub3(d1e, d3e, d4e, b3e, b4e, ge, p1e, r3e,
-                             r4e, w4, 0.0)):
+                             r4e, w4, _TOL)):
         lo_r = jnp.minimum(lo_r, jnp.min(lo_s.reshape(B, N1w, -1), axis=2))
         up_r = jnp.minimum(up_r, jnp.min(up_s.reshape(B, N1w, -1), axis=2))
 
