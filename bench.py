@@ -15,12 +15,16 @@ extrapolated.
 
 Prints the result as ONE JSON line {"metric", "value", "unit",
 "vs_baseline", ...}. The line is printed TWICE on a full run: once right
-after the main-bucket measurement (so a driver timeout can never erase the
-headline number) and once merged with the EAR measurement; parsers taking
-either the first or the last JSON line get a valid record. Progress goes
-to stderr. The EAR phase is skipped when the `MF_BENCH_BUDGET` wall-clock
-budget (default 480 s) is nearly exhausted — cold-compile of the EAR
-programs is the longest pole and must never time the whole bench out.
+after the main-bucket measurement and once merged with the EAR
+measurement, so parsers taking either the first or the last JSON line get
+a valid record and a timeout DURING THE MEASUREMENT PHASE cannot erase
+the headline. (A cold run's prewarm — all bucket programs compile before
+the first measurement, in the fixed order that keeps the persistent-cache
+keys reproducible — happens before any emit; a budget that cannot cover
+one cold prewarm produces no JSON. Warm runs load the disk cache in tens
+of seconds.) Progress goes to stderr. The EAR measurement is skipped when
+the `MF_BENCH_BUDGET` wall-clock budget (default 480 s) is nearly
+exhausted.
 """
 
 import json
@@ -101,7 +105,9 @@ def _measure_main(wl, rotator, health, aot=None):
             fin()
         return N_BATCHES * N_VOX_BATCH / (time.time() - t0)
 
-    return max(one_pass(), one_pass())
+    # best of three: the tunnel's throughput spread is ~2x run-to-run
+    # and a stall can only ever LOWER a pass's number
+    return max(one_pass(), one_pass(), one_pass())
 
 
 def _measure_ear(wl, rotator, health, sig_ear, y_ear, aot=None):
@@ -131,8 +137,8 @@ def _measure_ear(wl, rotator, health, sig_ear, y_ear, aot=None):
             fin()
         return n_rep * n_ear / (time.time() - t0)
 
-    # best of two (tunnel stalls only ever lower the number)
-    return max(one_pass(), one_pass())
+    # best of three (tunnel stalls only ever lower the number)
+    return max(one_pass(), one_pass(), one_pass())
 
 
 def _cpu_reference_throughput(wl, n_probe=3):

@@ -28,6 +28,23 @@ jax.config.update("jax_enable_x64", _X64)
 # environment variable; force the CPU backend explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the suite: wall time is dominated by
+# ONE-TIME compiles of the big unrolled df-scan programs (40-70 s each on a
+# 1-core host; the suite deliberately shares one shape family per program
+# so there are few of them). Caching the executables on disk makes every
+# later suite run warm. XLA:CPU executables are machine-feature sensitive,
+# but a test cache is only ever read back on the machine that wrote it.
+# Opt out with MF_TEST_NO_COMPILE_CACHE=1. The x64 flag is part of the
+# program, so the f32 lane shares the same directory without conflicts.
+if os.environ.get("MF_TEST_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                              "microstructure_fingerprinting_tpu",
+                              "xla_cache_tests")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
